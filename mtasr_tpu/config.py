@@ -17,7 +17,7 @@ from typing import Any, List, Optional, Tuple
 # and configs interop directly (reference vendors HF WavLM:
 # models/modeling_wavlm.py:318-465).
 # ---------------------------------------------------------------------------
-@dataclass
+@dataclass(eq=False)
 class WavLMConfig:
     vocab_size: int = 32
     hidden_size: int = 768
@@ -99,7 +99,7 @@ def wavlm_large_config(**kw) -> WavLMConfig:
 # Decoder (LLaMA) config — follows HF LlamaConfig naming
 # (reference: models/llama_modules.py + models/modeling_llama.py).
 # ---------------------------------------------------------------------------
-@dataclass
+@dataclass(eq=False)
 class LlamaConfig:
     vocab_size: int = 128256
     hidden_size: int = 2048
@@ -173,7 +173,7 @@ def llama_8b_config(**kw) -> LlamaConfig:
 # (finetune_asr.py:91-108, utils/create_from_pretrained.py:209-273) and the
 # ModelArguments flags (src/arguments.py:16-203). Same names, same defaults.
 # ---------------------------------------------------------------------------
-@dataclass
+@dataclass(eq=False)
 class SpeechEncoderDecoderConfig:
     encoder: WavLMConfig = field(default_factory=WavLMConfig)
     decoder: LlamaConfig = field(default_factory=LlamaConfig)
@@ -280,7 +280,7 @@ class TrainingConfig:
     resume_from_checkpoint: Optional[str] = None
 
 
-@dataclass
+@dataclass(eq=False)
 class GenerationConfig:
     max_length: int = 150          # max new tokens budget (inference_asr.py:187)
     max_new_tokens: Optional[int] = None

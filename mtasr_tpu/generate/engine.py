@@ -1,0 +1,184 @@
+"""Autoregressive generation engine: prefill/decode split over a
+preallocated KV cache, batched, fully jit-compiled.
+
+Replaces the reference's vendored HF generation loop
+(/root/reference/utils/generation_utils.py — GenerationMixin_Instruct) and
+its per-sample Python decode loop (inference_asr.py:171-217):
+
+* `generate`  — encoder once, splice `[prefix | speech | suffix]` embeddings
+  into one prefill pass (the reference's first-iteration splice,
+  modeling_llama.py:170-228), then a lax.while_loop of single-token steps
+  with early exit when every row has emitted <eos>. Prompt handling matches
+  GenerationMixin_Instruct: decoder input = [BOS] + prompt_ids
+  (generation_utils.py:2083-2085).
+* `generate_ctc` — the non-autoregressive one-shot CTC decode
+  (generation_ctc_utils.py:3244-3248 -> model.forward_ctc).
+
+Greedy + temperature/top-k/top-p sampling (reference run scripts use greedy,
+num_beams=1: inference_asr.py:184-200). Batched decode differs from the
+reference in one deliberate way: padded speech frames are masked out of
+attention (the reference decodes one utterance at a time so padding never
+arises there).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mtasr_tpu.config import GenerationConfig, SpeechEncoderDecoderConfig
+from mtasr_tpu.models.llama import KVCache, embed_tokens, llama_forward
+from mtasr_tpu.models.speech_encoder_decoder import (
+    EncodedSpeech, _adapter_callback, encode_speech, forward_ctc,
+)
+
+
+@dataclass
+class GenerateOutput:
+    sequences: jax.Array      # [B, max_new_tokens] generated tokens (pad-filled)
+    lengths: jax.Array        # [B] number of generated tokens incl. eos
+    scores: Optional[jax.Array] = None
+
+
+jax.tree_util.register_dataclass(GenerateOutput,
+                                 data_fields=["sequences", "lengths", "scores"],
+                                 meta_fields=[])
+
+
+def _sample_token(logits: jax.Array, gen: GenerationConfig,
+                  rng: Optional[jax.Array]) -> jax.Array:
+    """logits [B, V] -> token [B]."""
+    if not gen.do_sample:
+        return jnp.argmax(logits, axis=-1)
+    logits = logits / jnp.maximum(gen.temperature, 1e-6)
+    if gen.top_k and gen.top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[:, -gen.top_k][:, None]
+        logits = jnp.where(logits < kth, -1e30, logits)
+    if gen.top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        cutoff_idx = jnp.sum(cum < gen.top_p, axis=-1)
+        kth = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
+        logits = jnp.where(logits < kth, -1e30, logits)
+    return jax.random.categorical(rng, logits, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("cfg", "gen", "max_new_tokens",
+                                   "splice_index"))
+def _generate_impl(params, cfg: SpeechEncoderDecoderConfig,
+                   enc: EncodedSpeech, prefill_ids: jax.Array,
+                   splice_index: int, gen: GenerationConfig,
+                   max_new_tokens: int, rng: jax.Array) -> GenerateOutput:
+    dec_cfg = cfg.decoder
+    speech = enc.encoder_hidden_states
+    B, Ts = speech.shape[:2]
+    Lp = prefill_ids.shape[1]
+    total_prefill = Lp + Ts
+    S_max = total_prefill + max_new_tokens
+
+    emb = embed_tokens(params["decoder"], dec_cfg, prefill_ids,
+                       dtype=speech.dtype)
+    inputs_embeds = jnp.concatenate(
+        [emb[:, :splice_index], speech, emb[:, splice_index:]], axis=1)
+    key_valid = jnp.concatenate([
+        jnp.ones((B, splice_index), jnp.bool_),
+        enc.encoder_attention_mask,
+        jnp.ones((B, Lp - splice_index), jnp.bool_),
+    ], axis=1)
+    position_ids = jnp.broadcast_to(
+        jnp.arange(total_prefill)[None, :], (B, total_prefill))
+
+    cache = KVCache.init(dec_cfg, B, S_max, dtype=speech.dtype)
+    cb = _adapter_callback(params, cfg, enc)
+    logits, cache = llama_forward(
+        params["decoder"], dec_cfg, inputs_embeds, position_ids,
+        key_valid_mask=key_valid, kv_cache=cache, cache_offset=0,
+        layer_callback=cb, logits_to_keep=1)
+
+    eos_id = cfg.eos_token_id
+    pad_id = cfg.pad_token_id
+
+    rng0, rng = (jax.random.split(rng) if rng is not None else (None, None))
+    first_tok = _sample_token(logits[:, -1], gen, rng0)
+    out0 = jnp.full((B, max_new_tokens), pad_id, jnp.int32)
+    out0 = out0.at[:, 0].set(first_tok.astype(jnp.int32))
+    done0 = first_tok == eos_id
+
+    def cond(state):
+        t, _, _, done, _, _ = state
+        return (t < max_new_tokens) & ~jnp.all(done)
+
+    def body(state):
+        t, cache, cur_tok, done, out, rng = state
+        emb_t = embed_tokens(params["decoder"], dec_cfg, cur_tok[:, None],
+                             dtype=speech.dtype)
+        # cur_tok was generated at step t-1 -> absolute position
+        # total_prefill + t - 1 (speech frames occupy cache slots like tokens)
+        pos_t = jnp.full((B, 1), total_prefill - 1) + t
+        logits_t, cache = llama_forward(
+            params["decoder"], dec_cfg, emb_t, pos_t,
+            kv_cache=cache, cache_offset=total_prefill + t - 1,
+            layer_callback=cb, logits_to_keep=1)
+        step_rng = None
+        if rng is not None:
+            rng, step_rng = jax.random.split(rng)
+        nxt = _sample_token(logits_t[:, -1], gen, step_rng)
+        nxt = jnp.where(done, pad_id, nxt).astype(jnp.int32)
+        out = out.at[:, t].set(nxt)
+        done = done | (nxt == eos_id)
+        return (t + 1, cache, nxt, done, out, rng)
+
+    # NOTE on positions: generated token t sits at absolute position
+    # total_prefill + t, matching the reference's cache_position arithmetic
+    # where speech frames occupy positions (modeling_llama.py:200-219).
+    state = (jnp.int32(1), cache, first_tok.astype(jnp.int32), done0, out0, rng)
+    _, _, _, _, out, _ = jax.lax.while_loop(cond, body, state)
+
+    not_pad = out != pad_id
+    lengths = jnp.sum(not_pad, axis=1)
+    return GenerateOutput(sequences=out, lengths=lengths)
+
+
+def generate(params, cfg: SpeechEncoderDecoderConfig,
+             input_values: jax.Array, audio_mask: Optional[jax.Array],
+             prompt_ids: Optional[jax.Array] = None,
+             gen: Optional[GenerationConfig] = None,
+             rng: Optional[jax.Array] = None,
+             max_new_tokens: Optional[int] = None) -> GenerateOutput:
+    """Batched AR decode. prompt_ids: [B, P_total] instruct prompt token ids
+    WITHOUT BOS (= tokenizer(prompt_str)[1:], vectorized_dataset_utils.py:98);
+    must contain the <boss>/<eoss>/<bosr> specials. All rows must share one
+    prompt layout (the reference assumes identical prompts, see TODO at
+    modeling...llama.py:713-715)."""
+    gen = gen or GenerationConfig()
+    if max_new_tokens is None:
+        max_new_tokens = gen.max_new_tokens or gen.max_length
+    B = input_values.shape[0]
+
+    enc = encode_speech(params, cfg, input_values, audio_mask)
+    bos = jnp.full((B, 1), cfg.decoder_start_token_id, jnp.int32)
+    if cfg.instruct:
+        if prompt_ids is None:
+            raise ValueError("instruct mode requires prompt_ids")
+        prefill_ids = jnp.concatenate([bos, prompt_ids.astype(jnp.int32)], axis=1)
+        # [BOS bosp prompt(P) eosp boss | eoss bosr]: splice after <boss>
+        splice_index = int(prefill_ids.shape[1]) - 2
+    else:
+        prefill_ids = bos
+        splice_index = 1
+    if rng is None and gen.do_sample:
+        rng = jax.random.key(0)
+    return _generate_impl(params, cfg, enc, prefill_ids, splice_index, gen,
+                          int(max_new_tokens), rng)
+
+
+def generate_ctc(params, cfg: SpeechEncoderDecoderConfig,
+                 input_values: jax.Array, audio_mask: Optional[jax.Array],
+                 max_out_len: int = 150) -> Tuple[jax.Array, jax.Array]:
+    """One-shot CTC decode (GenerationMixin_CTC._sample_ctc ->
+    forward_ctc)."""
+    return forward_ctc(params, cfg, input_values, audio_mask, max_out_len)

@@ -1,0 +1,142 @@
+"""Parameter-dict NN primitives.
+
+Design: params are plain nested dicts whose keys mirror the HF/torch
+state_dict layout (weights kept in torch convention: Linear [out, in],
+Conv1d [out, in/groups, k], LayerNorm weight/bias). This makes checkpoint
+interop a pure tree-match (utils/torch_interop.py) and keeps full control
+over sharding annotations — no module-framework magic between the param
+tree and pjit.
+
+All forwards are pure functions; dropout takes an explicit rng and a
+`deterministic` flag.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# init helpers (match torch defaults where the reference relies on them)
+# ---------------------------------------------------------------------------
+def linear_init(key, in_dim: int, out_dim: int, bias: bool = True,
+                std: Optional[float] = None, dtype=jnp.float32) -> dict:
+    """Default: Kaiming-uniform fan_in (torch nn.Linear default); pass `std`
+    for normal init (HF PreTrainedModel._init_weights style)."""
+    wkey, bkey = jax.random.split(key)
+    if std is None:
+        bound = 1.0 / np.sqrt(in_dim)
+        w = jax.random.uniform(wkey, (out_dim, in_dim), dtype, -bound, bound)
+    else:
+        w = jax.random.normal(wkey, (out_dim, in_dim), dtype) * std
+    p = {"weight": w}
+    if bias:
+        bound = 1.0 / np.sqrt(in_dim)
+        p["bias"] = (jax.random.uniform(bkey, (out_dim,), dtype, -bound, bound)
+                     if std is None else jnp.zeros((out_dim,), dtype))
+    return p
+
+
+def linear(p: dict, x: jax.Array) -> jax.Array:
+    y = jnp.einsum("...i,oi->...o", x, p["weight"].astype(x.dtype))
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def embedding_init(key, num: int, dim: int, std: float = 0.02,
+                   dtype=jnp.float32) -> dict:
+    return {"weight": jax.random.normal(key, (num, dim), dtype) * std}
+
+
+def embed(p: dict, ids: jax.Array, dtype=None) -> jax.Array:
+    w = p["weight"]
+    if dtype is not None:
+        w = w.astype(dtype)
+    return jnp.take(w, ids, axis=0)
+
+
+def layer_norm_init(dim: int, dtype=jnp.float32) -> dict:
+    return {"weight": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def layer_norm(p: dict, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["weight"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def group_norm(p: dict, x_bct: jax.Array, num_groups: int,
+               eps: float = 1e-5) -> jax.Array:
+    """torch GroupNorm semantics on [B, C, T] input."""
+    B, C, T = x_bct.shape
+    xf = x_bct.astype(jnp.float32).reshape(B, num_groups, C // num_groups, T)
+    mean = jnp.mean(xf, axis=(2, 3), keepdims=True)
+    var = jnp.var(xf, axis=(2, 3), keepdims=True)
+    y = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(B, C, T)
+    y = y * p["weight"].astype(jnp.float32)[None, :, None] \
+        + p["bias"].astype(jnp.float32)[None, :, None]
+    return y.astype(x_bct.dtype)
+
+
+def conv1d_init(key, in_dim: int, out_dim: int, kernel: int,
+                bias: bool = True, groups: int = 1, dtype=jnp.float32) -> dict:
+    fan_in = (in_dim // groups) * kernel
+    bound = 1.0 / np.sqrt(fan_in)
+    wkey, bkey = jax.random.split(key)
+    p = {"weight": jax.random.uniform(
+        wkey, (out_dim, in_dim // groups, kernel), dtype, -bound, bound)}
+    if bias:
+        p["bias"] = jax.random.uniform(bkey, (out_dim,), dtype, -bound, bound)
+    return p
+
+
+def conv1d(p: dict, x_btc: jax.Array, stride: int = 1, padding: int = 0,
+           groups: int = 1) -> jax.Array:
+    """Conv over time. x: [B, T, C] -> [B, T', C_out]; weight in torch layout
+    [out, in/groups, k]."""
+    w = p["weight"].astype(x_btc.dtype)
+    y = jax.lax.conv_general_dilated(
+        x_btc, jnp.transpose(w, (2, 1, 0)),              # [k, in/groups, out]
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=groups,
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(x_btc.dtype)
+    return y
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    # torch nn.GELU default = exact erf formulation
+    return jax.nn.gelu(x, approximate=False)
+
+
+ACT = {
+    "gelu": gelu,
+    "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
+    "relu": jax.nn.relu,
+    "silu": jax.nn.silu,
+    "tanh": jnp.tanh,
+}
+
+
+def dropout(x: jax.Array, rate: float, rng: Optional[jax.Array],
+            deterministic: bool) -> jax.Array:
+    if deterministic or rate <= 0.0 or rng is None:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0)
+
+
+def tree_cast(params, dtype):
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+        params)

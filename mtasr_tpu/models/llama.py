@@ -1,0 +1,207 @@
+"""LLaMA decoder, TPU-native, with speech-prefix splicing support.
+
+Re-design of the reference's vendored LLaMA
+(/root/reference/models/modeling_llama.py, llama_modules.py). Key differences
+from the torch original, driven by XLA/static-shape semantics:
+
+* The reference discovers splice points by scanning input_ids for
+  <boss>/<eoss> at runtime (modeling_llama.py:170-228) and concatenates
+  mid-sequence. Here the *composite model* builds a static
+  `[prefix | speech | suffix]` embedding layout host/graph-side and hands the
+  decoder a plain `inputs_embeds` + `position_ids` — the decoder itself is
+  splice-agnostic, so every shape is static under jit.
+* DynamicCache becomes a preallocated HBM KV cache (`KVCache`) written with
+  `dynamic_update_slice`, with explicit `cache_offset` — reproducing the
+  reference's cache_position arithmetic (modeling_llama.py:200-219) where
+  speech frames occupy cache slots like ordinary tokens.
+* Per-layer cross-attention adapters hook in right after the self-attention
+  residual (llama_modules.py:387-400) via `layer_callback`.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mtasr_tpu.config import LlamaConfig
+from mtasr_tpu.models.layers import embedding_init, linear, linear_init
+from mtasr_tpu.ops.attention import dot_product_attention
+from mtasr_tpu.ops.norms import rms_norm
+from mtasr_tpu.ops.rope import apply_rotary_emb, compute_rope_freqs, rope_cos_sin
+
+
+@dataclass
+class KVCache:
+    """Preallocated cache: k/v [n_layers, B, S_max, H_kv, D] and a [B, S_max]
+    key-validity mask (False = empty or padding slot)."""
+    k: jax.Array
+    v: jax.Array
+    valid: jax.Array
+
+    @classmethod
+    def init(cls, cfg: LlamaConfig, batch: int, max_len: int,
+             dtype=jnp.bfloat16) -> "KVCache":
+        shape = (cfg.num_hidden_layers, batch, max_len,
+                 cfg.num_key_value_heads, cfg.head_dim_)
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   valid=jnp.zeros((batch, max_len), jnp.bool_))
+
+
+jax.tree_util.register_dataclass(KVCache, data_fields=["k", "v", "valid"],
+                                 meta_fields=[])
+
+
+def init_llama_params(key: jax.Array, cfg: LlamaConfig,
+                      dtype=jnp.float32) -> dict:
+    keys = iter(jax.random.split(key, 8 * cfg.num_hidden_layers + 8))
+    std = 0.02
+    H = cfg.hidden_size
+    D = cfg.head_dim_
+    p: dict = {"model": {
+        "embed_tokens": embedding_init(next(keys), cfg.vocab_size, H, std, dtype),
+        "layers": {},
+        "norm": {"weight": jnp.ones((H,), dtype)},
+    }}
+    for i in range(cfg.num_hidden_layers):
+        p["model"]["layers"][str(i)] = {
+            "self_attn": {
+                "q_proj": linear_init(next(keys), H, cfg.num_attention_heads * D,
+                                      bias=cfg.attention_bias, std=std, dtype=dtype),
+                "k_proj": linear_init(next(keys), H, cfg.num_key_value_heads * D,
+                                      bias=cfg.attention_bias, std=std, dtype=dtype),
+                "v_proj": linear_init(next(keys), H, cfg.num_key_value_heads * D,
+                                      bias=cfg.attention_bias, std=std, dtype=dtype),
+                "o_proj": linear_init(next(keys), cfg.num_attention_heads * D, H,
+                                      bias=cfg.attention_bias, std=std, dtype=dtype),
+            },
+            "mlp": {
+                "gate_proj": linear_init(next(keys), H, cfg.intermediate_size,
+                                         bias=cfg.mlp_bias, std=std, dtype=dtype),
+                "up_proj": linear_init(next(keys), H, cfg.intermediate_size,
+                                       bias=cfg.mlp_bias, std=std, dtype=dtype),
+                "down_proj": linear_init(next(keys), cfg.intermediate_size, H,
+                                         bias=cfg.mlp_bias, std=std, dtype=dtype),
+            },
+            "input_layernorm": {"weight": jnp.ones((H,), dtype)},
+            "post_attention_layernorm": {"weight": jnp.ones((H,), dtype)},
+        }
+    if not cfg.tie_word_embeddings:
+        p["lm_head"] = linear_init(next(keys), H, cfg.vocab_size, bias=False,
+                                   std=std, dtype=dtype)
+    return p
+
+
+def embed_tokens(params: dict, cfg: LlamaConfig, input_ids: jax.Array,
+                 dtype=None) -> jax.Array:
+    w = params["model"]["embed_tokens"]["weight"]
+    if dtype is not None:
+        w = w.astype(dtype)
+    return jnp.take(w, input_ids, axis=0)
+
+
+def lm_head(params: dict, cfg: LlamaConfig, hidden: jax.Array) -> jax.Array:
+    w = (params["lm_head"]["weight"] if "lm_head" in params
+         else params["model"]["embed_tokens"]["weight"])
+    return jnp.einsum("...h,vh->...v", hidden, w.astype(hidden.dtype))
+
+
+def _attention(p: dict, cfg: LlamaConfig, x: jax.Array,
+               cos: jax.Array, sin: jax.Array,
+               mask: Optional[jax.Array],
+               layer_idx: int,
+               kv_cache: Optional[KVCache],
+               cache_offset) -> Tuple[jax.Array, Optional[KVCache]]:
+    B, L, H = x.shape
+    D = cfg.head_dim_
+    q = linear(p["q_proj"], x).reshape(B, L, cfg.num_attention_heads, D)
+    k = linear(p["k_proj"], x).reshape(B, L, cfg.num_key_value_heads, D)
+    v = linear(p["v_proj"], x).reshape(B, L, cfg.num_key_value_heads, D)
+    q, k = apply_rotary_emb(q, k, cos, sin)
+
+    if kv_cache is not None:
+        k_all = jax.lax.dynamic_update_slice(
+            kv_cache.k[layer_idx], k.astype(kv_cache.k.dtype), (0, cache_offset, 0, 0))
+        v_all = jax.lax.dynamic_update_slice(
+            kv_cache.v[layer_idx], v.astype(kv_cache.v.dtype), (0, cache_offset, 0, 0))
+        kv_cache = KVCache(k=kv_cache.k.at[layer_idx].set(k_all),
+                           v=kv_cache.v.at[layer_idx].set(v_all),
+                           valid=kv_cache.valid)
+        k_use, v_use = k_all.astype(x.dtype), v_all.astype(x.dtype)
+    else:
+        k_use, v_use = k, v
+
+    out = dot_product_attention(q, k_use, v_use, mask=mask,
+                                scale=D ** -0.5)
+    out = linear(p["o_proj"], out.reshape(B, L, -1))
+    return out, kv_cache
+
+
+def _mlp(p: dict, x: jax.Array) -> jax.Array:
+    return linear(p["down_proj"],
+                  jax.nn.silu(linear(p["gate_proj"], x)) * linear(p["up_proj"], x))
+
+
+def llama_forward(
+    params: dict,
+    cfg: LlamaConfig,
+    inputs_embeds: jax.Array,                     # [B, L, H]
+    position_ids: jax.Array,                      # [B, L]
+    *,
+    key_valid_mask: Optional[jax.Array] = None,   # [B, L] (no cache) / [B, Smax]
+    kv_cache: Optional[KVCache] = None,
+    cache_offset=0,                               # int or traced scalar
+    layer_callback: Optional[Callable[[int, jax.Array], jax.Array]] = None,
+    compute_logits: bool = True,
+    logits_to_keep: int = 0,
+) -> Tuple[jax.Array, Optional[KVCache]]:
+    """Returns (logits [B, L(or logits_to_keep), V] or hidden, new kv_cache).
+
+    Causality: query at row i (absolute position cache_offset + i) attends to
+    key slot j iff j <= cache_offset + i and the slot is valid.
+    """
+    B, L, H = inputs_embeds.shape
+    inv_freq, attn_scaling = compute_rope_freqs(
+        cfg.head_dim_, cfg.rope_theta, cfg.rope_scaling)
+    cos, sin = rope_cos_sin(jnp.asarray(inv_freq), position_ids, attn_scaling,
+                            dtype=inputs_embeds.dtype)
+
+    # Build the attention mask once, shared by all layers.
+    S = kv_cache.k.shape[2] if kv_cache is not None else L
+    j = jnp.arange(S)[None, None, :]
+    i_abs = cache_offset + jnp.arange(L)[None, :, None]
+    mask = j <= i_abs                                            # [1, L, S]
+    if kv_cache is not None:
+        valid = jax.lax.dynamic_update_slice(
+            kv_cache.valid,
+            (key_valid_mask if key_valid_mask is not None
+             else jnp.ones((B, L), jnp.bool_)),
+            (0, cache_offset))
+        kv_cache = KVCache(k=kv_cache.k, v=kv_cache.v, valid=valid)
+        mask = mask & valid[:, None, :]
+    elif key_valid_mask is not None:
+        mask = mask & key_valid_mask[:, None, :]
+    mask = mask[:, None, :, :]                                   # [B, 1, L, S]
+
+    hidden = inputs_embeds
+    for idx in range(cfg.num_hidden_layers):
+        lp = params["model"]["layers"][str(idx)]
+        residual = hidden
+        h = rms_norm(hidden, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
+        h, kv_cache = _attention(lp["self_attn"], cfg, h, cos, sin, mask, idx,
+                                 kv_cache, cache_offset)
+        hidden = residual + h
+        if layer_callback is not None:
+            hidden = layer_callback(idx, hidden)
+        residual = hidden
+        h = rms_norm(hidden, lp["post_attention_layernorm"]["weight"],
+                     cfg.rms_norm_eps)
+        hidden = residual + _mlp(lp["mlp"], h)
+
+    hidden = rms_norm(hidden, params["model"]["norm"]["weight"], cfg.rms_norm_eps)
+    if logits_to_keep:
+        hidden = hidden[:, -logits_to_keep:, :]
+    if compute_logits:
+        return lm_head(params, cfg, hidden), kv_cache
+    return hidden, kv_cache

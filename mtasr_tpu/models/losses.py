@@ -1,0 +1,158 @@
+"""Hybrid loss: CE (attention) + serialized CTC (+ PIT).
+
+Re-design of /root/reference/models/losses.py. Differences forced by jit:
+pure function returning (total_loss, aux) instead of module state
+(`last_ctc_per_head` becomes aux["ctc_per_head"]); the blank-range debug
+assertion is a host-side data-pipeline check instead of an in-graph one.
+
+Semantics preserved:
+* CE = mean cross-entropy over labels != -100 (losses.py:204-208,
+  torch nn.CrossEntropyLoss default)
+* serialized CTC: per-head per-sample losses, head means averaged
+  (losses.py:264-279); optional fixed permutation policy build_perm
+  (losses.py:8-26)
+* PIT: enumerate all K! assignments of heads to label streams, pick the
+  per-sample argmin (losses.py:44-132) — K<=3 so at most 6 perms, evaluated
+  via a stacked [K, K, B] pair-loss tensor
+* hybrid = alpha * CE + (1-alpha) * CTC (losses.py:352)
+"""
+from __future__ import annotations
+
+import itertools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mtasr_tpu.models.ctc_head import ctc_head_loss
+
+
+def build_perm(n: int, mode: Optional[str], step: int = 0,
+               rotate_every: int = 100) -> List[int]:
+    """Fixed-permutation policy (losses.py:8-26)."""
+    if mode is None:
+        return list(range(n))
+    if mode == "swap01":
+        p = list(range(n))
+        p[0], p[1] = p[1], p[0]
+        return p
+    if mode == "reverse":
+        return list(reversed(range(n)))
+    if mode == "rotate":
+        k = (step // max(1, rotate_every)) % n
+        base = list(range(n))
+        return base[k:] + base[:k]
+    raise ValueError(f"Unknown perm_mode: {mode}")
+
+
+def cross_entropy_loss(logits: jax.Array, labels: jax.Array,
+                       ignore_id: int = -100) -> jax.Array:
+    """Mean CE over non-ignored positions, computed in float32."""
+    vocab = logits.shape[-1]
+    valid = labels != ignore_id
+    safe_labels = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    denom = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(nll) / denom
+
+
+def serialized_ctc_loss(
+    ctc_params: Sequence[dict],         # K head param trees
+    sep_hidden: Sequence[jax.Array],    # K x [B, T, D]
+    hlens: jax.Array,                   # [B]
+    label_spks: jax.Array,              # [K, B, L]
+    label_spk_lens: jax.Array,          # [K, B]
+    blank_id: int,
+    perm: Optional[Sequence[int]] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fixed-assignment serialized CTC. Returns (mean loss, per-head [K, B])."""
+    K = len(ctc_params)
+    if perm is None:
+        perm = list(range(K))
+    per_head = []
+    for i in range(K):
+        j = perm[i]
+        li = ctc_head_loss(ctc_params[i], sep_hidden[i].astype(jnp.float32),
+                           hlens, label_spks[j], label_spk_lens[j], blank_id)
+        per_head.append(li)
+    per_head = jnp.stack(per_head)              # [K, B]
+    return jnp.mean(jnp.mean(per_head, axis=1)), per_head
+
+
+def pit_ctc_loss(
+    ctc_params: Sequence[dict],
+    sep_hidden: Sequence[jax.Array],
+    hlens: jax.Array,
+    label_spks: jax.Array,              # [K, B, L]
+    label_spk_lens: jax.Array,          # [K, B]
+    blank_id: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Permutation-invariant CTC (losses.py:44-132).
+    Returns (mean loss, assigned per-head [K, B], best_perm [B, K])."""
+    K = len(ctc_params)
+    pair = []                                   # [K, K, B]: head i vs target j
+    for i in range(K):
+        row = [ctc_head_loss(ctc_params[i], sep_hidden[i].astype(jnp.float32),
+                             hlens, label_spks[j], label_spk_lens[j], blank_id)
+               for j in range(K)]
+        pair.append(jnp.stack(row))
+    pair = jnp.stack(pair)                      # [K, K, B]
+
+    perms = jnp.asarray(list(itertools.permutations(range(K))))  # [P, K]
+    # perm p: total[p, b] = sum_i pair[i, perms[p, i], b]
+    head_idx = jnp.arange(K)[None, :]
+    perm_losses = pair[head_idx, perms, :].sum(axis=1)           # [P, B]
+    best = jnp.argmin(perm_losses, axis=0)                       # [B]
+    best_perm = perms[best]                                      # [B, K]
+    pair_bht = pair.transpose(2, 0, 1)                           # [B, K, K]
+    assigned = jnp.take_along_axis(
+        pair_bht, best_perm[:, :, None], axis=2)[..., 0].T       # [K, B]
+    return jnp.mean(assigned), assigned, best_perm
+
+
+def hybrid_loss(
+    mode: str,                          # 'attention' | 'ctc' | 'hybrid'
+    alpha: float,
+    *,
+    logits: Optional[jax.Array] = None,
+    labels: Optional[jax.Array] = None,
+    ignore_id: int = -100,
+    ctc_params: Optional[Sequence[dict]] = None,
+    sep_hidden: Optional[Sequence[jax.Array]] = None,
+    hlens: Optional[jax.Array] = None,
+    label_spks: Optional[jax.Array] = None,
+    label_spk_lens: Optional[jax.Array] = None,
+    blank_id: Optional[int] = None,
+    use_pit: bool = False,
+    perm: Optional[Sequence[int]] = None,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    aux: Dict[str, jax.Array] = {}
+    loss_attn = jnp.float32(0.0)
+    loss_ctc = jnp.float32(0.0)
+
+    if mode in ("attention", "hybrid"):
+        loss_attn = cross_entropy_loss(logits, labels, ignore_id)
+        aux["loss_attn"] = loss_attn
+
+    if mode in ("ctc", "hybrid"):
+        if use_pit:
+            loss_ctc, per_head, best_perm = pit_ctc_loss(
+                ctc_params, sep_hidden, hlens, label_spks, label_spk_lens,
+                blank_id)
+            aux["best_perm"] = best_perm
+        else:
+            loss_ctc, per_head = serialized_ctc_loss(
+                ctc_params, sep_hidden, hlens, label_spks, label_spk_lens,
+                blank_id, perm)
+        aux["loss_ctc"] = loss_ctc
+        aux["ctc_per_head"] = per_head
+
+    if mode == "attention":
+        total = loss_attn
+    elif mode == "ctc":
+        total = loss_ctc
+    else:
+        total = alpha * loss_attn + (1.0 - alpha) * loss_ctc
+    return total, aux

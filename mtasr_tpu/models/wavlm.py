@@ -1,0 +1,343 @@
+"""WavLM speech encoder, TPU-native.
+
+Re-designed from the reference's vendored HF WavLM
+(/root/reference/models/modeling_wavlm.py) as pure JAX:
+
+* conv feature encoder (320x downsample) as XLA convs over [B, T, C]
+* transformer encoder with WavLM's gated relative position bias; the bucket
+  matrix is a host-side constant per static sequence length, bias computed
+  once and shared across layers (only layer 0 owns the table)
+* conv adapter returning BOTH the final 8x-downsampled features and the 4x
+  intermediate tap (reference mod at modeling_wavlm.py:237-254), plus the
+  pre-adapter 50 Hz features used by the separator/CTC stack
+  (modeling_wavlm.py:94-99)
+* SpecAugment is applied from host-precomputed mask indices
+  (modeling_wavlm.py:112-113 notes the mask computation is CPU work)
+* layerdrop is elided (assembly sets layerdrop=0,
+  utils/create_from_pretrained.py:215-218)
+
+Param tree mirrors the HF state_dict key layout (see utils/torch_interop.py).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mtasr_tpu.config import WavLMConfig
+from mtasr_tpu.models.layers import (
+    ACT, conv1d, conv1d_init, dropout, embedding_init, gelu, group_norm,
+    layer_norm, layer_norm_init, linear, linear_init,
+)
+from mtasr_tpu.ops.attention import dot_product_attention
+from mtasr_tpu.ops.relpos import gated_position_bias, relative_position_bucket
+
+
+@dataclass
+class WavLMOutput:
+    last_hidden_state: jax.Array          # [B, T/8, out_hidden] post-adapter
+    encoder_hidden_state: jax.Array       # [B, T, hidden] pre-adapter (50 Hz)
+    wavlm_down_hidden_states: jax.Array   # [B, T/4, out_hidden] adapter tap
+    extract_features: jax.Array           # [B, T, conv_dim[-1]]
+
+
+jax.tree_util.register_dataclass(
+    WavLMOutput,
+    data_fields=["last_hidden_state", "encoder_hidden_state",
+                 "wavlm_down_hidden_states", "extract_features"],
+    meta_fields=[])
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+def init_wavlm_params(key: jax.Array, cfg: WavLMConfig, dtype=jnp.float32) -> dict:
+    keys = iter(jax.random.split(key, 256))
+    p: dict = {}
+
+    # conv feature encoder
+    conv_layers = {}
+    in_dim = 1
+    for i, (out_dim, k) in enumerate(zip(cfg.conv_dim, cfg.conv_kernel)):
+        lp = {"conv": conv1d_init(next(keys), in_dim, out_dim, k,
+                                  bias=cfg.conv_bias, dtype=dtype)}
+        if cfg.feat_extract_norm == "layer":
+            lp["layer_norm"] = layer_norm_init(out_dim, dtype)
+        elif cfg.feat_extract_norm == "group" and i == 0:
+            lp["layer_norm"] = layer_norm_init(out_dim, dtype)  # GroupNorm affine
+        conv_layers[str(i)] = lp
+        in_dim = out_dim
+    p["feature_extractor"] = {"conv_layers": conv_layers}
+
+    p["feature_projection"] = {
+        "layer_norm": layer_norm_init(cfg.conv_dim[-1], dtype),
+        "projection": linear_init(next(keys), cfg.conv_dim[-1], cfg.hidden_size,
+                                  dtype=dtype),
+    }
+    if cfg.mask_time_prob > 0 or cfg.mask_feature_prob > 0:
+        p["masked_spec_embed"] = jax.random.uniform(
+            next(keys), (cfg.hidden_size,), dtype)
+
+    # encoder
+    enc: dict = {
+        "pos_conv_embed": {"conv": conv1d_init(
+            next(keys), cfg.hidden_size, cfg.hidden_size,
+            cfg.num_conv_pos_embeddings,
+            groups=cfg.num_conv_pos_embedding_groups, dtype=dtype)},
+        "layer_norm": layer_norm_init(cfg.hidden_size, dtype),
+        "layers": {},
+    }
+    E, H = cfg.hidden_size, cfg.num_attention_heads
+    for i in range(cfg.num_hidden_layers):
+        att = {
+            "q_proj": linear_init(next(keys), E, E, dtype=dtype),
+            "k_proj": linear_init(next(keys), E, E, dtype=dtype),
+            "v_proj": linear_init(next(keys), E, E, dtype=dtype),
+            "out_proj": linear_init(next(keys), E, E, dtype=dtype),
+            "gru_rel_pos_linear": linear_init(next(keys), E // H, 8, dtype=dtype),
+            "gru_rel_pos_const": jnp.ones((H,), dtype),
+        }
+        if i == 0:
+            att["rel_attn_embed"] = embedding_init(
+                next(keys), cfg.num_buckets, H, dtype=dtype)
+        enc["layers"][str(i)] = {
+            "attention": att,
+            "layer_norm": layer_norm_init(E, dtype),
+            "feed_forward": {
+                "intermediate_dense": linear_init(
+                    next(keys), E, cfg.intermediate_size, dtype=dtype),
+                "output_dense": linear_init(
+                    next(keys), cfg.intermediate_size, E, dtype=dtype),
+            },
+            "final_layer_norm": layer_norm_init(E, dtype),
+        }
+    p["encoder"] = enc
+
+    if cfg.add_adapter:
+        ad: dict = {"layers": {}}
+        out_h = cfg.out_hidden
+        if out_h != cfg.hidden_size:
+            ad["proj"] = linear_init(next(keys), cfg.hidden_size, out_h, dtype=dtype)
+            ad["proj_layer_norm"] = layer_norm_init(out_h, dtype)
+        for i in range(cfg.num_adapter_layers):
+            ad["layers"][str(i)] = {"conv": conv1d_init(
+                next(keys), out_h, 2 * out_h, cfg.adapter_kernel_size, dtype=dtype)}
+        p["adapter"] = ad
+    return p
+
+
+# ---------------------------------------------------------------------------
+# length / mask arithmetic (reference: modeling_wavlm.py:467-577)
+# ---------------------------------------------------------------------------
+def conv_output_lengths(cfg: WavLMConfig, lengths: jax.Array) -> jax.Array:
+    for k, s in zip(cfg.conv_kernel, cfg.conv_stride):
+        lengths = (lengths - k) // s + 1
+    return lengths
+
+
+def feat_extract_output_lengths(cfg: WavLMConfig, lengths: jax.Array,
+                                num_adapter_layers: int) -> jax.Array:
+    lengths = conv_output_lengths(cfg, lengths)
+    for _ in range(num_adapter_layers):
+        lengths = (lengths - 1) // cfg.adapter_stride + 1
+    return lengths
+
+
+def _lengths_to_mask(lengths: jax.Array, T: int) -> jax.Array:
+    return jnp.arange(T)[None, :] < jnp.clip(lengths, 0, T)[:, None]
+
+
+def feature_vector_attention_mask(cfg: WavLMConfig, T: int,
+                                  attention_mask: jax.Array,
+                                  num_adapter_layers: Optional[int] = None) -> jax.Array:
+    """Boolean [B, T] mask on the feature axis. `num_adapter_layers`:
+    None -> full adapter (decoder-side mask), 0 -> conv-only (`_x0`, the CTC
+    mask), n -> after n adapter convs (`_x4` uses num_adapter_layers-1)."""
+    if num_adapter_layers is None:
+        num_adapter_layers = cfg.num_adapter_layers if cfg.add_adapter else 0
+    lengths = feat_extract_output_lengths(
+        cfg, jnp.sum(attention_mask.astype(jnp.int32), axis=-1), num_adapter_layers)
+    return _lengths_to_mask(lengths, T)
+
+
+# ---------------------------------------------------------------------------
+# forward blocks
+# ---------------------------------------------------------------------------
+def feature_encoder(p: dict, cfg: WavLMConfig, input_values: jax.Array) -> jax.Array:
+    """[B, S] waveform -> [B, T, conv_dim[-1]] at 50 Hz."""
+    act = ACT[cfg.feat_extract_activation]
+    x = input_values[:, :, None]  # [B, S, 1]
+    for i, (k, s) in enumerate(zip(cfg.conv_kernel, cfg.conv_stride)):
+        lp = p["conv_layers"][str(i)]
+        x = conv1d(lp["conv"], x, stride=s)
+        if cfg.feat_extract_norm == "layer":
+            x = layer_norm(lp["layer_norm"], x)
+        elif cfg.feat_extract_norm == "group" and i == 0:
+            x = jnp.swapaxes(group_norm(lp["layer_norm"], jnp.swapaxes(x, 1, 2),
+                                        num_groups=cfg.conv_dim[0]), 1, 2)
+        x = act(x)
+    return x
+
+
+def _wavlm_attention(p: dict, cfg: WavLMConfig, x: jax.Array,
+                     position_bias: jax.Array,
+                     key_valid_mask: Optional[jax.Array]) -> jax.Array:
+    B, T, E = x.shape
+    H = cfg.num_attention_heads
+    D = E // H
+    q = linear(p["q_proj"], x).reshape(B, T, H, D)
+    k = linear(p["k_proj"], x).reshape(B, T, H, D)
+    v = linear(p["v_proj"], x).reshape(B, T, H, D)
+
+    bias = gated_position_bias(
+        position_bias, x, p["gru_rel_pos_linear"]["weight"].T,
+        p["gru_rel_pos_linear"]["bias"], p["gru_rel_pos_const"], H)
+
+    mask = None
+    if key_valid_mask is not None:
+        mask = key_valid_mask[:, None, None, :]
+    out = dot_product_attention(q, k, v, bias=bias, mask=mask)
+    return linear(p["out_proj"], out.reshape(B, T, E))
+
+
+def _feed_forward(p: dict, cfg: WavLMConfig, x: jax.Array, deterministic,
+                  rng) -> jax.Array:
+    act = ACT[cfg.hidden_act]
+    r1 = r2 = None
+    if rng is not None:
+        rng, r1, r2 = jax.random.split(rng, 3)
+    h = linear(p["intermediate_dense"], x)
+    h = act(h)
+    h = dropout(h, cfg.activation_dropout, r1, deterministic)
+    h = linear(p["output_dense"], h)
+    h = dropout(h, cfg.hidden_dropout, r2, deterministic)
+    return h
+
+
+def wavlm_encoder(p: dict, cfg: WavLMConfig, hidden: jax.Array,
+                  attention_mask: Optional[jax.Array],
+                  deterministic: bool = True,
+                  rng: Optional[jax.Array] = None) -> jax.Array:
+    B, T, E = hidden.shape
+    if attention_mask is not None:
+        hidden = hidden * attention_mask[:, :, None].astype(hidden.dtype)
+
+    # positional conv embedding (grouped conv, same-pad trims one frame)
+    pos = conv1d(p["pos_conv_embed"]["conv"], hidden,
+                 padding=cfg.num_conv_pos_embeddings // 2,
+                 groups=cfg.num_conv_pos_embedding_groups)
+    if cfg.num_conv_pos_embeddings % 2 == 0:
+        pos = pos[:, :-1, :]
+    pos = gelu(pos)
+    hidden = hidden + pos
+    if not cfg.do_stable_layer_norm:
+        hidden = layer_norm(p["layer_norm"], hidden, cfg.layer_norm_eps)
+    if rng is not None:
+        rng, r = jax.random.split(rng)
+        hidden = dropout(hidden, cfg.hidden_dropout, r, deterministic)
+
+    # shared relative position bias from layer 0's table (constant buckets)
+    buckets = jnp.asarray(relative_position_bucket(
+        T, T, cfg.num_buckets, cfg.max_bucket_distance))
+    table = p["layers"]["0"]["attention"]["rel_attn_embed"]["weight"]
+    position_bias = jnp.transpose(jnp.take(table, buckets, axis=0), (2, 0, 1))
+
+    for i in range(cfg.num_hidden_layers):
+        lp = p["layers"][str(i)]
+        r_attn = r_ff = None
+        if rng is not None:
+            rng, r_attn, r_ff = jax.random.split(rng, 3)
+        if cfg.do_stable_layer_norm:
+            h = layer_norm(lp["layer_norm"], hidden, cfg.layer_norm_eps)
+            h = _wavlm_attention(lp["attention"], cfg, h, position_bias,
+                                 attention_mask)
+            h = dropout(h, cfg.hidden_dropout, r_attn, deterministic)
+            hidden = hidden + h
+            hidden = hidden + _feed_forward(
+                lp["feed_forward"], cfg,
+                layer_norm(lp["final_layer_norm"], hidden, cfg.layer_norm_eps),
+                deterministic, r_ff)
+        else:
+            h = _wavlm_attention(lp["attention"], cfg, hidden, position_bias,
+                                 attention_mask)
+            h = dropout(h, cfg.hidden_dropout, r_attn, deterministic)
+            hidden = hidden + h
+            hidden = layer_norm(lp["layer_norm"], hidden, cfg.layer_norm_eps)
+            hidden = hidden + _feed_forward(lp["feed_forward"], cfg, hidden,
+                                            deterministic, r_ff)
+            hidden = layer_norm(lp["final_layer_norm"], hidden, cfg.layer_norm_eps)
+
+    if cfg.do_stable_layer_norm:
+        hidden = layer_norm(p["layer_norm"], hidden, cfg.layer_norm_eps)
+    return hidden
+
+
+def wavlm_adapter(p: dict, cfg: WavLMConfig, hidden: jax.Array):
+    """Returns (final 8x features, 4x tap) — reference WavLMAdapter mod
+    (modeling_wavlm.py:237-254)."""
+    if "proj" in p:
+        hidden = linear(p["proj"], hidden)
+        hidden = layer_norm(p["proj_layer_norm"], hidden)
+    tap = hidden
+    pad = cfg.adapter_kernel_size // 2
+    for i in range(cfg.num_adapter_layers):
+        h = conv1d(p["layers"][str(i)]["conv"], hidden,
+                   stride=cfg.adapter_stride, padding=pad)
+        a, b = jnp.split(h, 2, axis=-1)
+        hidden = a * jax.nn.sigmoid(b)
+        if i == 1:
+            tap = hidden
+    return hidden, tap
+
+
+def wavlm_forward(params: dict, cfg: WavLMConfig, input_values: jax.Array,
+                  attention_mask: Optional[jax.Array] = None,
+                  mask_time_indices: Optional[jax.Array] = None,
+                  mask_feature_indices: Optional[jax.Array] = None,
+                  deterministic: bool = True,
+                  rng: Optional[jax.Array] = None) -> WavLMOutput:
+    """input_values: [B, S] normalized waveform; attention_mask: [B, S].
+
+    SpecAugment indices are host-precomputed (data/specaugment.py) and
+    passed in — no data-dependent masking inside jit.
+    """
+    extract = feature_encoder(params["feature_extractor"], cfg, input_values)
+    T = extract.shape[1]
+
+    feat_mask = None
+    if attention_mask is not None:
+        feat_mask = _lengths_to_mask(
+            conv_output_lengths(cfg, jnp.sum(attention_mask.astype(jnp.int32), -1)), T)
+
+    norm_features = layer_norm(params["feature_projection"]["layer_norm"],
+                               extract, cfg.layer_norm_eps)
+    hidden = linear(params["feature_projection"]["projection"], norm_features)
+    if rng is not None:
+        rng, r = jax.random.split(rng)
+        hidden = dropout(hidden, cfg.feat_proj_dropout, r, deterministic)
+
+    if mask_time_indices is not None and "masked_spec_embed" in params:
+        hidden = jnp.where(mask_time_indices[:, :, None],
+                           params["masked_spec_embed"].astype(hidden.dtype),
+                           hidden)
+    if mask_feature_indices is not None:
+        hidden = jnp.where(mask_feature_indices[:, None, :], 0.0, hidden)
+
+    hidden = wavlm_encoder(params["encoder"], cfg, hidden, feat_mask,
+                           deterministic, rng)
+    encoder_hidden_state = hidden
+
+    if cfg.add_adapter:
+        last, tap = wavlm_adapter(params["adapter"], cfg, hidden)
+    else:
+        last, tap = hidden, hidden
+
+    return WavLMOutput(
+        last_hidden_state=last,
+        encoder_hidden_state=encoder_hidden_state,
+        wavlm_down_hidden_states=tap,
+        extract_features=norm_features,
+    )

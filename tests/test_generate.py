@@ -1,0 +1,112 @@
+"""Generation engine tests: greedy decode consistency vs teacher-forced
+logits, eos early-stop, instruct prompt splicing, sampling shapes."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mtasr_tpu.config import GenerationConfig
+from mtasr_tpu.generate import generate, generate_ctc
+from mtasr_tpu.models.llama import embed_tokens, llama_forward
+from mtasr_tpu.models.speech_encoder_decoder import (
+    encode_speech, init_model_params,
+)
+from tests.test_composite import BOS, EOS, PAD, VOCAB, make_batch, tiny_cfg
+
+
+def _greedy_reference(params, cfg, enc, max_new):
+    """Naive greedy decode WITHOUT a KV cache: recompute the full forward for
+    every step (the 'obviously correct' baseline)."""
+    speech = enc.encoder_hidden_states
+    B, Ts = speech.shape[:2]
+    ids = np.full((B, 1), cfg.decoder_start_token_id, np.int32)
+    out = []
+    for _ in range(max_new):
+        emb = embed_tokens(params["decoder"], cfg.decoder, jnp.asarray(ids),
+                           dtype=speech.dtype)
+        full = jnp.concatenate([emb[:, :1], speech, emb[:, 1:]], axis=1)
+        L = full.shape[1]
+        pos = jnp.broadcast_to(jnp.arange(L)[None, :], (B, L))
+        kv = jnp.concatenate([jnp.ones((B, 1), bool), enc.encoder_attention_mask,
+                              jnp.ones((B, ids.shape[1] - 1), bool)], axis=1)
+        logits, _ = llama_forward(params["decoder"], cfg.decoder, full, pos,
+                                  key_valid_mask=kv)
+        nxt = np.asarray(jnp.argmax(logits[:, -1], -1)).astype(np.int32)
+        out.append(nxt)
+        ids = np.concatenate([ids, nxt[:, None]], axis=1)
+    return np.stack(out, axis=1)  # [B, max_new]
+
+
+def test_greedy_generate_matches_uncached_reference():
+    cfg = tiny_cfg(train_mode="attention")
+    params = init_model_params(jax.random.key(7), cfg)
+    wav, amask, _ = make_batch(cfg, B=2, S=8000, seed=5)
+    enc = encode_speech(params, cfg, jnp.asarray(wav), jnp.asarray(amask))
+
+    max_new = 6
+    ref = _greedy_reference(params, cfg, enc, max_new)
+    out = generate(params, cfg, jnp.asarray(wav), jnp.asarray(amask),
+                   max_new_tokens=max_new)
+    seqs = np.asarray(out.sequences)
+    # compare until each row's first EOS (after that ours emits PAD)
+    for b in range(2):
+        for t in range(max_new):
+            assert seqs[b, t] == ref[b, t]
+            if ref[b, t] == EOS:
+                break
+
+
+def test_generate_eos_early_stop_and_padding():
+    cfg = tiny_cfg(train_mode="attention")
+    params = init_model_params(jax.random.key(3), cfg)
+    wav, amask, _ = make_batch(cfg, B=3, S=8000, seed=8)
+    out = generate(params, cfg, jnp.asarray(wav), jnp.asarray(amask),
+                   max_new_tokens=20)
+    seqs, lens = np.asarray(out.sequences), np.asarray(out.lengths)
+    for b in range(3):
+        row = seqs[b]
+        if EOS in row:
+            e = list(row).index(EOS)
+            assert np.all(row[e + 1:] == PAD)
+            assert lens[b] == e + 1
+        else:
+            assert lens[b] == 20
+
+
+def test_generate_instruct_prompt():
+    cfg = tiny_cfg(train_mode="attention", instruct=True,
+                   bosp_token_id=52, eosp_token_id=53, boss_token_id=54,
+                   eoss_token_id=55, bosr_token_id=56, eosr_token_id=57)
+    params = init_model_params(jax.random.key(4), cfg)
+    wav, amask, _ = make_batch(cfg, B=2, S=8000, seed=9)
+    # prompt_ids (no BOS): [bosp, p, p, eosp, boss, eoss, bosr]
+    prompt = np.tile(np.array([[52, 30, 31, 53, 54, 55, 56]], np.int32), (2, 1))
+    out = generate(params, cfg, jnp.asarray(wav), jnp.asarray(amask),
+                   prompt_ids=jnp.asarray(prompt), max_new_tokens=5)
+    assert np.asarray(out.sequences).shape == (2, 5)
+
+    with pytest.raises(ValueError):
+        generate(params, cfg, jnp.asarray(wav), jnp.asarray(amask),
+                 max_new_tokens=5)
+
+
+def test_generate_sampling_runs():
+    cfg = tiny_cfg(train_mode="attention")
+    params = init_model_params(jax.random.key(5), cfg)
+    wav, amask, _ = make_batch(cfg, B=2, S=8000, seed=10)
+    g = GenerationConfig(do_sample=True, temperature=0.8, top_k=10, top_p=0.95)
+    out = generate(params, cfg, jnp.asarray(wav), jnp.asarray(amask), gen=g,
+                   rng=jax.random.key(0), max_new_tokens=8)
+    seqs = np.asarray(out.sequences)
+    assert seqs.shape == (2, 8)
+    assert seqs.max() < VOCAB
+
+
+def test_generate_ctc_end_to_end():
+    cfg = tiny_cfg(train_mode="ctc", talker_ctc=True)
+    params = init_model_params(jax.random.key(6), cfg)
+    wav, amask, _ = make_batch(cfg, B=2, S=8000, seed=11)
+    trans, lens = generate_ctc(params, cfg, jnp.asarray(wav),
+                               jnp.asarray(amask), max_out_len=12)
+    assert np.asarray(trans).shape == (2, 24)
