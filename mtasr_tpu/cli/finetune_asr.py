@@ -1,0 +1,149 @@
+"""Training entry point (reference: /root/reference/finetune_asr.py:47-225).
+
+Stages: resume-or-raise, dataset load, model load (+ optional partial
+separator/CTC restore), freeze + optional LoRA insert, preprocess, train,
+save (+ LoRA merge).
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import jax
+import numpy as np
+
+from mtasr_tpu.cli.args import (
+    add_data_args, add_generation_args, add_model_args, add_training_args, csv,
+)
+from mtasr_tpu.config import DataConfig, GenerationConfig, TrainingConfig
+from mtasr_tpu.data.audio import build_file_paths, load_kaldi_dir
+from mtasr_tpu.data.pipeline import batches_from_examples, prepare_example
+from mtasr_tpu.data.tokenizer import CharTokenizer, HFTokenizer
+from mtasr_tpu.train.checkpoint import load_partial, resume_or_raise
+from mtasr_tpu.train.loop import Trainer
+from mtasr_tpu.utils.model_io import load_model, save_model
+
+logger = logging.getLogger("mtasr_tpu.finetune")
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("finetune_asr")
+    add_model_args(p)
+    add_data_args(p)
+    add_training_args(p)
+    add_generation_args(p)
+    p.add_argument("--tokenizer_name", type=str, default=None)
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    resume_or_raise(args.output_dir, overwrite=args.overwrite_output_dir)
+
+    cfg, params = load_model(args.model_name_or_path)
+    # flag overrides onto config (reference finetune_asr.py:91-108)
+    for name in ("talker_ctc", "talker_ctc_refine", "talker_numbers",
+                 "separator_hidden", "ctc_bridge", "ctc_bridge_type",
+                 "train_mode", "ctc_alpha", "decoder_cross_attention",
+                 "decoder_cross_attention_type",
+                 "decoder_cross_attention_feature", "r_max", "lora_alpha",
+                 "instruct"):
+        if hasattr(args, name) and getattr(args, name) is not None:
+            setattr(cfg, name, getattr(args, name))
+
+    if args.pretrain_separator_path:
+        _, donor = load_model(args.pretrain_separator_path)
+        params = load_partial(params, donor, ("separator", "serialized_ctc"))
+
+    if args.use_lora:
+        from mtasr_tpu.train.lora import init_decoder_lora
+        params["decoder_lora"] = init_decoder_lora(
+            jax.random.key(0), params["decoder"], r=16, alpha=32.0)
+
+    tokenizer = (HFTokenizer(args.tokenizer_name) if args.tokenizer_name
+                 else CharTokenizer())
+    if isinstance(tokenizer, CharTokenizer):
+        sp = tokenizer.add_special_tokens(instruct=cfg.instruct)
+        cfg.pad_token_id, cfg.sc_token_id = sp.pad_token_id, sp.sc_token_id
+
+    dc = DataConfig(max_duration_in_seconds=args.max_duration_in_seconds,
+                    min_duration_in_seconds=args.min_duration_in_seconds,
+                    do_lower_case=args.do_lower_case)
+    tc = TrainingConfig(
+        output_dir=args.output_dir, learning_rate=args.learning_rate,
+        warmup_steps=args.warmup_steps, max_steps=args.max_steps,
+        num_train_epochs=args.num_train_epochs,
+        per_device_train_batch_size=args.per_device_train_batch_size,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        max_grad_norm=args.max_grad_norm, logging_steps=args.logging_steps,
+        eval_steps=args.eval_steps, save_steps=args.save_steps,
+        save_total_limit=args.save_total_limit, seed=args.seed,
+        bf16=args.bf16, pcgrad=args.pcgrad)
+
+    if args.dataset_name is not None:
+        splits = build_file_paths(args.data_dir or ".", args.dataset_name)
+    elif os.path.exists(os.path.join(args.data_dir, "wav.scp")):
+        # flat Kaldi dir: reuse it for all splits (the `_mini` pattern,
+        # generate_dataset.py:109-119)
+        splits = {"train": args.data_dir, "validation": args.data_dir,
+                  "test": args.data_dir}
+    else:
+        splits = {"train": os.path.join(args.data_dir, "train"),
+                  "validation": os.path.join(args.data_dir, "dev"),
+                  "test": os.path.join(args.data_dir, "test")}
+    train_utts = load_kaldi_dir(splits["train"], prompt=args.prompt)
+    eval_utts = load_kaldi_dir(splits["validation"], prompt=args.prompt)
+    if args.max_train_samples:
+        train_utts = train_utts[: args.max_train_samples]
+    if args.max_eval_samples:
+        eval_utts = eval_utts[: args.max_eval_samples]
+
+    train_ex = [e for e in (prepare_example(u, tokenizer, dc, cfg.instruct)
+                            for u in train_utts) if e is not None]
+    eval_ex = [e for e in (prepare_example(u, tokenizer, dc, cfg.instruct)
+                           for u in eval_utts) if e is not None]
+    logger.info("examples: train=%d eval=%d", len(train_ex), len(eval_ex))
+
+    freeze_kwargs = dict(
+        freeze_feature_encoder=args.freeze_feature_encoder,
+        freeze_encoder=args.freeze_encoder,
+        freeze_decoder=args.freeze_decoder,
+        partial_encoder_unfreeze=csv(args.partial_encoder_unfreeze),
+        partial_decoder_unfreeze=csv(args.partial_decoder_unfreeze),
+        partial_others_unfreeze=csv(args.partial_others_unfreeze))
+
+    trainer = Trainer(cfg, tc, dc, params, tokenizer=tokenizer,
+                      freeze_kwargs=freeze_kwargs,
+                      gen_cfg=GenerationConfig(max_length=args.max_length))
+    trainer.maybe_resume()
+
+    eval_refs = {u.utt_id: (u.text.lower() if dc.do_lower_case else u.text)
+                 for u in eval_utts}
+
+    def train_iter():
+        return batches_from_examples(
+            train_ex, cfg, dc, tc.per_device_train_batch_size, training=True,
+            seed=tc.seed + trainer.state.step)
+
+    def eval_iter():
+        return batches_from_examples(
+            eval_ex, cfg, dc, args.per_device_eval_batch_size, training=False,
+            shuffle=False, drop_last=False)
+
+    trainer.train(train_iter, eval_iter if eval_ex else None, eval_refs)
+
+    # final save (+ LoRA merge, reference finetune_asr.py:196-221 + run.sh:252)
+    final = trainer.state.params
+    if "decoder_lora" in final:
+        save_model(os.path.join(args.output_dir, "model_unmerge"), cfg, final)
+        from mtasr_tpu.train.lora import merge_decoder_lora
+        final = merge_decoder_lora(final)
+    save_model(os.path.join(args.output_dir, "final"), cfg, final)
+    logger.info("saved final model to %s", os.path.join(args.output_dir, "final"))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""Batched inference entry point (reference: inference_asr.py:49-221 and the
+multi-GPU variant inference_asr_gpus.py:70-283).
+
+Differences from the reference, driven by TPU batching:
+* decodes in static-shape batches instead of a per-sample Python loop
+* multi-host sharding via --shard_index/--num_shards (the reference's
+  dataset.shard + rank files + barrier + rank-0 merge, lines 200-277, maps
+  to one process per host writing 'decod.{i}' files merged by merge mode)
+
+Outputs 'label' and 'decod' files (utt_id + text) and a .wer report scored
+with compute-wer semantics (run.sh:316-325).
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from mtasr_tpu.cli.args import add_data_args, add_generation_args, add_model_args
+from mtasr_tpu.config import DataConfig, GenerationConfig
+from mtasr_tpu.data.audio import load_kaldi_dir
+from mtasr_tpu.data.pipeline import batches_from_examples, prepare_example
+from mtasr_tpu.data.tokenizer import CharTokenizer, HFTokenizer
+from mtasr_tpu.generate import generate, generate_ctc
+from mtasr_tpu.utils.model_io import load_model
+from mtasr_tpu.utils.wer import Calculator
+
+logger = logging.getLogger("mtasr_tpu.inference")
+
+
+def build_argparser():
+    p = argparse.ArgumentParser("inference_asr")
+    add_model_args(p)
+    add_data_args(p)
+    add_generation_args(p)
+    p.add_argument("--tokenizer_name", type=str, default=None)
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--shard_index", type=int, default=0)
+    p.add_argument("--num_shards", type=int, default=1)
+    p.add_argument("--merge", action="store_true",
+                   help="merge per-shard decod files and score")
+    p.add_argument("--char_mode", action="store_true")
+    return p
+
+
+def merge_and_score(args) -> str:
+    """Rank-0 merge (inference_asr_gpus.py:263-277) + WER report."""
+    labels, decods = {}, {}
+    for i in range(args.num_shards):
+        for name, store in (("label", labels), ("decod", decods)):
+            path = os.path.join(args.output_dir, f"{name}.{i}")
+            if not os.path.exists(path):
+                continue
+            with open(path) as f:
+                for line in f:
+                    parts = line.rstrip("\n").split(None, 1)
+                    store[parts[0]] = parts[1] if len(parts) > 1 else ""
+    with open(os.path.join(args.output_dir, "label"), "w") as f:
+        for k in sorted(labels):
+            f.write(f"{k} {labels[k]}\n")
+    with open(os.path.join(args.output_dir, "decod"), "w") as f:
+        for k in sorted(decods):
+            f.write(f"{k} {decods[k]}\n")
+    calc = Calculator(char_mode=args.char_mode)
+    for k in sorted(labels):
+        calc.calculate(k, labels[k], decods.get(k, ""))
+    report = calc.summary()
+    with open(os.path.join(args.output_dir, "wer"), "w") as f:
+        f.write(report + "\n")
+    return report
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    if args.merge:
+        print(merge_and_score(args))
+        return
+
+    cfg, params = load_model(args.model_name_or_path)
+    if args.instruct:
+        cfg.instruct = True
+    tokenizer = (HFTokenizer(args.tokenizer_name) if args.tokenizer_name
+                 else CharTokenizer())
+    if isinstance(tokenizer, CharTokenizer):
+        sp = tokenizer.add_special_tokens(instruct=cfg.instruct)
+        cfg.pad_token_id, cfg.sc_token_id = sp.pad_token_id, sp.sc_token_id
+
+    dc = DataConfig(max_duration_in_seconds=args.max_duration_in_seconds,
+                    min_duration_in_seconds=args.min_duration_in_seconds,
+                    do_lower_case=args.do_lower_case)
+    utts = load_kaldi_dir(args.data_dir, prompt=args.prompt)
+    if args.max_eval_samples:
+        utts = utts[: args.max_eval_samples]
+    examples = [e for e in (prepare_example(u, tokenizer, dc, cfg.instruct)
+                            for u in utts) if e is not None]
+    refs = {u.utt_id: (u.text.lower() if dc.do_lower_case else u.text)
+            for u in utts}
+
+    gen = GenerationConfig(max_length=args.max_length,
+                           do_sample=args.do_sample,
+                           temperature=args.temperature, top_k=args.top_k,
+                           top_p=args.top_p)
+
+    label_f = open(os.path.join(args.output_dir,
+                                f"label.{args.shard_index}"), "w")
+    decod_f = open(os.path.join(args.output_dir,
+                                f"decod.{args.shard_index}"), "w")
+    n_done = 0
+    for batch in batches_from_examples(
+            examples, cfg, dc, args.batch_size, training=False,
+            shuffle=False, drop_last=False,
+            shard_index=args.shard_index, num_shards=args.num_shards):
+        wav = jnp.asarray(batch.arrays["input_values"])
+        amask = jnp.asarray(batch.arrays["audio_mask"])
+        if args.ctc_decoding:
+            trans, _ = generate_ctc(params, cfg, wav, amask,
+                                    max_out_len=args.max_length)
+            seqs = np.asarray(trans)
+        else:
+            prompt = (jnp.asarray(batch.arrays["prompt_ids"])
+                      if "prompt_ids" in batch.arrays else None)
+            out = generate(params, cfg, wav, amask, prompt_ids=prompt, gen=gen)
+            seqs = np.asarray(out.sequences)
+        for i, utt_id in enumerate(batch.utt_ids):
+            hyp = tokenizer.decode(seqs[i])
+            label_f.write(f"{utt_id} {refs[utt_id]}\n")
+            decod_f.write(f"{utt_id} {hyp}\n")
+        n_done += len(batch.utt_ids)
+        logger.info("decoded %d utts", n_done)
+    label_f.close()
+    decod_f.close()
+
+    if args.num_shards == 1:
+        print(merge_and_score(args))
+
+
+if __name__ == "__main__":
+    main()

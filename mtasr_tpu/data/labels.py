@@ -121,6 +121,7 @@ def build_training_arrays(
     bosr_token_id: Optional[int] = None,
     ignore_id: int = -100,
     label_spk_pad_to: Optional[int] = None,
+    split_speakers: bool = True,
 ):
     """Full host-side label surgery for one batch. Returns a dict with
     decoder_input_ids [B, L+1], ce_labels [B, L+1], label_spks [K, B, Lk],
@@ -142,20 +143,25 @@ def build_training_arrays(
         splited = decoder_input_ids[:, 1:]
         splice_index = 1
 
-    label_spks, label_spk_lens = split_k_speakers_and_lengths(
-        splited, talker_numbers, sc_token_id, pad_token_id,
-        ignore_id=ignore_id, end_token_id=pad_token_id,
-        allow_empty_segment=False, pad_to=label_spk_pad_to)
+    if split_speakers:
+        label_spks, label_spk_lens = split_k_speakers_and_lengths(
+            splited, talker_numbers, sc_token_id, pad_token_id,
+            ignore_id=ignore_id, end_token_id=pad_token_id,
+            allow_empty_segment=False, pad_to=label_spk_pad_to)
+    else:
+        label_spks = label_spk_lens = None
 
     # append pad to inputs, ignore to labels, insert eos (reference 699-710)
     decoder_input_ids = np.concatenate(
         [decoder_input_ids, np.full((B, 1), pad_token_id, np.int64)], axis=1)
     ce_labels = insert_eos(raw_labels, eos_token_id, ignore_id)
 
-    return {
+    out = {
         "decoder_input_ids": decoder_input_ids,
         "ce_labels": ce_labels,
-        "label_spks": label_spks,
-        "label_spk_lens": label_spk_lens,
         "splice_index": splice_index,
     }
+    if label_spks is not None:
+        out["label_spks"] = label_spks
+        out["label_spk_lens"] = label_spk_lens
+    return out

@@ -1,0 +1,170 @@
+"""End-to-end host data pipeline: utterances -> static-shape TPU batches.
+
+Replaces the reference's HF datasets map/filter + dynamic-padding collator
+(utils/vectorized_dataset_utils.py:26-124, src/data_collator.py:8-67) with a
+bucketed, static-shape design: audio lengths snap to duration buckets and
+label lengths to a fixed max, so every (audio_bucket, label_len) pair
+compiles exactly once under jit.
+
+Semantics preserved:
+* per-utterance zero-mean/unit-var waveform normalization
+* prompt templating + '<bos_prompt>...' tokenization in instruct mode
+  (prompt_ids exclude BOS: vectorized_dataset_utils.py:98)
+* BOS stripped from labels (collator lines 54-55), NO eos appended at
+  collation (inserted later during label surgery: data_collator.py:57-59)
+* duration filter min < len < max (vectorized_dataset_utils.py:113-121)
+* SpecAugment mask indices computed host-side per batch
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from mtasr_tpu.config import DataConfig, SpeechEncoderDecoderConfig
+from mtasr_tpu.data.audio import (
+    Utterance, normalize_waveform, read_wav, resample,
+)
+from mtasr_tpu.data.labels import build_training_arrays
+from mtasr_tpu.data.specaugment import compute_mask_indices
+from mtasr_tpu.data.tokenizer import build_prompt_and_input
+
+
+@dataclass
+class PreparedExample:
+    utt_id: str
+    input_values: np.ndarray      # normalized waveform
+    labels: List[int]             # tokenized target (no BOS, no EOS)
+    prompt_ids: List[int]         # instruct prompt ids (no BOS), may be []
+    n_samples: int
+
+
+def prepare_example(utt: Utterance, tokenizer, dc: DataConfig,
+                    instruct: bool = False) -> Optional[PreparedExample]:
+    wav_data, sr = read_wav(utt.wav_path)
+    wav_data = resample(wav_data, sr, dc.sampling_rate)
+    n = len(wav_data)
+    if not (dc.min_duration_in_seconds * dc.sampling_rate < n
+            < dc.max_duration_in_seconds * dc.sampling_rate):
+        return None
+    text = utt.text.lower() if dc.do_lower_case else utt.text
+    if instruct:
+        prompt = utt.prompt.lower() if dc.do_lower_case else utt.prompt
+        prompt_str, input_str = build_prompt_and_input(prompt, text)
+        labels = tokenizer.encode(prompt_str + input_str, add_bos=False)
+        prompt_ids = tokenizer.encode(prompt_str, add_bos=False)
+    else:
+        labels = tokenizer.encode(text, add_bos=False)
+        prompt_ids = []
+    return PreparedExample(utt.utt_id, normalize_waveform(wav_data), labels,
+                           prompt_ids, n)
+
+
+def bucket_length(n_samples: int, dc: DataConfig) -> int:
+    for b in dc.bucket_boundaries_seconds:
+        cap = int(b * dc.sampling_rate)
+        if n_samples <= cap:
+            return cap
+    return int(dc.bucket_boundaries_seconds[-1] * dc.sampling_rate)
+
+
+@dataclass
+class Batch:
+    """Static-shape arrays ready for the jitted train/eval step."""
+    utt_ids: List[str]
+    arrays: Dict[str, np.ndarray]
+    splice_index: int
+
+
+def collate(examples: Sequence[PreparedExample],
+            cfg: SpeechEncoderDecoderConfig, dc: DataConfig,
+            *, training: bool = True,
+            label_pad_to: Optional[int] = None,
+            spec_augment_rng: Optional[np.random.Generator] = None) -> Batch:
+    B = len(examples)
+    S = bucket_length(max(e.n_samples for e in examples), dc)
+    wav_batch = np.zeros((B, S), np.float32)
+    amask = np.zeros((B, S), np.int32)
+    for i, e in enumerate(examples):
+        ln = min(e.n_samples, S)
+        wav_batch[i, :ln] = e.input_values[:ln]
+        amask[i, :ln] = 1
+
+    L = label_pad_to or max(len(e.labels) for e in examples)
+    raw_labels = np.full((B, L), -100, np.int64)
+    for i, e in enumerate(examples):
+        raw_labels[i, :min(len(e.labels), L)] = e.labels[:L]
+
+    arrays: Dict[str, np.ndarray] = {
+        "input_values": wav_batch, "audio_mask": amask,
+    }
+    splice_index = 1
+    if training or True:  # label surgery also used for eval loss
+        surgery = build_training_arrays(
+            raw_labels, pad_token_id=cfg.pad_token_id,
+            decoder_start_token_id=cfg.decoder_start_token_id,
+            eos_token_id=cfg.eos_token_id, sc_token_id=cfg.sc_token_id,
+            talker_numbers=cfg.talker_numbers, instruct=cfg.instruct,
+            eosr_token_id=cfg.eosr_token_id, bosp_token_id=cfg.bosp_token_id,
+            eosp_token_id=cfg.eosp_token_id, bosr_token_id=cfg.bosr_token_id,
+            label_spk_pad_to=label_pad_to, split_speakers=cfg.talker_ctc)
+        splice_index = surgery.pop("splice_index")
+        arrays.update({k: np.asarray(v) for k, v in surgery.items()})
+
+    if cfg.instruct:
+        P = max(len(e.prompt_ids) for e in examples)
+        prompt_ids = np.full((B, P), cfg.pad_token_id, np.int64)
+        for i, e in enumerate(examples):
+            prompt_ids[i, :len(e.prompt_ids)] = e.prompt_ids
+        arrays["prompt_ids"] = prompt_ids
+
+    if (training and cfg.encoder.apply_spec_augment
+            and cfg.encoder.mask_time_prob > 0):
+        T0 = cfg.encoder.conv_output_length(S)
+        feat_lens = np.asarray(
+            [cfg.encoder.conv_output_length(min(e.n_samples, S))
+             for e in examples])
+        feat_mask = (np.arange(T0)[None, :] < feat_lens[:, None]).astype(int)
+        arrays["mask_time_indices"] = compute_mask_indices(
+            (B, T0), cfg.encoder.mask_time_prob, cfg.encoder.mask_time_length,
+            attention_mask=feat_mask,
+            min_masks=cfg.encoder.mask_time_min_masks, rng=spec_augment_rng)
+
+    return Batch(utt_ids=[e.utt_id for e in examples], arrays=arrays,
+                 splice_index=splice_index)
+
+
+def batches_from_examples(
+    examples: List[PreparedExample], cfg: SpeechEncoderDecoderConfig,
+    dc: DataConfig, batch_size: int, *,
+    training: bool = True, shuffle: bool = True, seed: int = 0,
+    drop_last: bool = True,
+    shard_index: int = 0, num_shards: int = 1,
+) -> Iterator[Batch]:
+    """Length-bucketed batch iterator with host-level dataset sharding
+    (reference inference_asr_gpus.py:200-202 dataset.shard pattern)."""
+    rng = np.random.default_rng(seed)
+    examples = examples[shard_index::num_shards]
+    # group by audio bucket so every batch has one static audio shape
+    by_bucket: Dict[int, List[PreparedExample]] = {}
+    for e in examples:
+        by_bucket.setdefault(bucket_length(e.n_samples, dc), []).append(e)
+    order = []
+    for bucket, group in sorted(by_bucket.items()):
+        idx = np.arange(len(group))
+        if shuffle:
+            rng.shuffle(idx)
+        for i in range(0, len(group) - (batch_size - 1 if drop_last else 0),
+                       batch_size):
+            chunk = [group[j] for j in idx[i:i + batch_size]]
+            if drop_last and len(chunk) < batch_size:
+                continue
+            order.append(chunk)
+    if shuffle:
+        rng.shuffle(order)
+    for chunk in order:
+        yield collate(chunk, cfg, dc, training=training,
+                      label_pad_to=dc.max_label_length,
+                      spec_augment_rng=rng)

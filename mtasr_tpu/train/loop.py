@@ -1,0 +1,179 @@
+"""High-level training loop: epochs, logging, eval (loss + WER-with-generate),
+checkpoint/resume, speed metrics.
+
+Replaces the reference's vendored HF Seq2SeqTrainer
+(/root/reference/src/trainer_seq2seq.py): _inner_training_loop (1149),
+evaluate->prediction_step with generation (457, 625-734), speed_metrics
+(540-547), save/best-model retention (1663-1704). PCGrad lives inside the
+jitted train step (train_step.py), not the loop.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass
+from typing import Callable, Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mtasr_tpu.config import (
+    DataConfig, GenerationConfig, SpeechEncoderDecoderConfig, TrainingConfig,
+)
+from mtasr_tpu.data.pipeline import Batch, batches_from_examples
+from mtasr_tpu.generate import generate
+from mtasr_tpu.train.checkpoint import (
+    last_checkpoint, restore_checkpoint, save_checkpoint,
+)
+from mtasr_tpu.train.freeze import freeze_summary, trainable_mask
+from mtasr_tpu.train.optimizer import make_optimizer
+from mtasr_tpu.train.train_step import make_eval_step, make_train_step
+from mtasr_tpu.utils.wer import Calculator
+
+logger = logging.getLogger("mtasr_tpu.trainer")
+
+
+@dataclass
+class TrainState:
+    params: dict
+    opt_state: object
+    step: int = 0
+
+
+class Trainer:
+    """Minimal-but-complete trainer. Batches come from data/pipeline.py;
+    each (audio_bucket, label_len) shape pair compiles once."""
+
+    def __init__(self, cfg: SpeechEncoderDecoderConfig, tc: TrainingConfig,
+                 dc: DataConfig, params: dict,
+                 tokenizer=None,
+                 freeze_kwargs: Optional[dict] = None,
+                 gen_cfg: Optional[GenerationConfig] = None):
+        self.cfg = cfg
+        self.tc = tc
+        self.dc = dc
+        self.tokenizer = tokenizer
+        self.gen_cfg = gen_cfg or GenerationConfig()
+        self.mask = trainable_mask(params, train_mode=cfg.train_mode,
+                                   **(freeze_kwargs or {}))
+        summ = freeze_summary(params, self.mask)
+        logger.info("params: total=%d trainable=%d frozen=%d", summ["total"],
+                    summ["trainable"], summ["frozen"])
+        self.optimizer = make_optimizer(tc, self.mask)
+        self.state = TrainState(params=params,
+                                opt_state=self.optimizer.init(params))
+        self._train_steps: Dict[int, Callable] = {}
+        self._eval_steps: Dict[int, Callable] = {}
+        self.metrics_log: List[dict] = []
+
+    # -- step caches keyed by splice_index (static per batch layout) --------
+    def _train_step(self, splice_index: int) -> Callable:
+        if splice_index not in self._train_steps:
+            self._train_steps[splice_index] = make_train_step(
+                self.cfg, self.tc, self.optimizer, splice_index=splice_index,
+                trainable_mask=self.mask, donate=True)
+        return self._train_steps[splice_index]
+
+    def _eval_step(self, splice_index: int) -> Callable:
+        if splice_index not in self._eval_steps:
+            self._eval_steps[splice_index] = make_eval_step(
+                self.cfg, splice_index=splice_index)
+        return self._eval_steps[splice_index]
+
+    # -- checkpointing ------------------------------------------------------
+    def save(self, output_dir: Optional[str] = None) -> str:
+        out = output_dir or self.tc.output_dir
+        return save_checkpoint(out, self.state.step, self.state.params,
+                               self.state.opt_state,
+                               extra={"step": np.asarray(self.state.step)},
+                               save_total_limit=self.tc.save_total_limit)
+
+    def maybe_resume(self) -> bool:
+        ckpt = last_checkpoint(self.tc.output_dir)
+        if ckpt is None:
+            return False
+        template = {
+            "params": jax.tree_util.tree_map(np.asarray, self.state.params),
+            "opt_state": jax.tree_util.tree_map(np.asarray,
+                                                self.state.opt_state),
+            "extra": {"step": np.asarray(0)},
+        }
+        restored = restore_checkpoint(ckpt, template)
+        self.state = TrainState(
+            params=jax.tree_util.tree_map(jnp.asarray, restored["params"]),
+            opt_state=jax.tree_util.tree_map(jnp.asarray,
+                                             restored["opt_state"]),
+            step=int(restored["extra"]["step"]))
+        logger.info("resumed from %s at step %d", ckpt, self.state.step)
+        return True
+
+    # -- train --------------------------------------------------------------
+    def train(self, train_batches: Callable[[], Iterable[Batch]],
+              eval_batches: Optional[Callable[[], Iterable[Batch]]] = None,
+              eval_refs: Optional[Dict[str, str]] = None,
+              max_steps: Optional[int] = None) -> TrainState:
+        max_steps = max_steps or self.tc.max_steps
+        rng = jax.random.key(self.tc.seed)
+        t_start = time.perf_counter()
+        samples = 0
+        epoch = 0
+        while self.state.step < max_steps:
+            epoch += 1
+            for batch in train_batches():
+                if self.state.step >= max_steps:
+                    break
+                rng, step_rng = jax.random.split(rng)
+                arrays = {k: jnp.asarray(v) for k, v in batch.arrays.items()
+                          if k != "prompt_ids"}
+                step_fn = self._train_step(batch.splice_index)
+                params, opt_state, metrics = step_fn(
+                    self.state.params, self.state.opt_state, arrays, step_rng)
+                self.state = TrainState(params, opt_state,
+                                        self.state.step + 1)
+                samples += batch.arrays["input_values"].shape[0]
+                if self.state.step % self.tc.logging_steps == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    dt = time.perf_counter() - t_start
+                    m.update(step=self.state.step, epoch=epoch,
+                             samples_per_second=round(samples / dt, 2),
+                             steps_per_second=round(self.state.step / dt, 3))
+                    self.metrics_log.append(m)
+                    logger.info("step %d: %s", self.state.step, m)
+                if self.state.step % self.tc.save_steps == 0:
+                    self.save()
+                if (eval_batches is not None
+                        and self.state.step % self.tc.eval_steps == 0):
+                    em = self.evaluate(eval_batches(), eval_refs)
+                    logger.info("eval @%d: %s", self.state.step, em)
+            if epoch >= self.tc.num_train_epochs and self.tc.max_steps <= 0:
+                break
+        self.save()
+        return self.state
+
+    # -- eval ---------------------------------------------------------------
+    def evaluate(self, batches: Iterable[Batch],
+                 refs: Optional[Dict[str, str]] = None,
+                 with_generate: bool = True) -> Dict[str, float]:
+        losses = []
+        calc = Calculator() if (refs and self.tokenizer) else None
+        for batch in batches:
+            arrays = {k: jnp.asarray(v) for k, v in batch.arrays.items()
+                      if k != "prompt_ids"}
+            m = self._eval_step(batch.splice_index)(self.state.params, arrays)
+            losses.append(float(m["loss"]))
+            if calc is not None and with_generate:
+                prompt = (jnp.asarray(batch.arrays["prompt_ids"])
+                          if "prompt_ids" in batch.arrays else None)
+                out = generate(self.state.params, self.cfg,
+                               arrays["input_values"],
+                               arrays.get("audio_mask"), prompt_ids=prompt,
+                               gen=self.gen_cfg)
+                seqs = np.asarray(out.sequences)
+                for i, utt_id in enumerate(batch.utt_ids):
+                    hyp = self.tokenizer.decode(seqs[i])
+                    calc.calculate(utt_id, refs.get(utt_id, ""), hyp)
+        out_metrics = {"eval_loss": float(np.mean(losses)) if losses else 0.0}
+        if calc is not None:
+            out_metrics["eval_wer"] = calc.overall().wer
+        return out_metrics

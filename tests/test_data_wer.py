@@ -1,0 +1,160 @@
+"""Data pipeline + WER tests. The WER scorer is golden-tested against the
+reference's standalone compute-wer.py run as a subprocess (pure python)."""
+import os
+import re
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from mtasr_tpu.config import DataConfig
+from mtasr_tpu.data.audio import (
+    load_kaldi_dir, normalize_waveform, read_wav, write_wav,
+)
+from mtasr_tpu.data.pipeline import (
+    batches_from_examples, collate, prepare_example,
+)
+from mtasr_tpu.data.specaugment import compute_mask_indices
+from mtasr_tpu.data.tokenizer import CharTokenizer, build_prompt_and_input
+from mtasr_tpu.utils.wer import Calculator, cpwer, wer
+
+REF_WER = "/root/reference/utils/compute-wer.py"
+
+
+def _write_kaldi(tmp_path, utts):
+    os.makedirs(tmp_path, exist_ok=True)
+    with open(os.path.join(tmp_path, "wav.scp"), "w") as fw, \
+         open(os.path.join(tmp_path, "text"), "w") as ft:
+        rng = np.random.default_rng(0)
+        for utt_id, text, secs in utts:
+            p = os.path.join(tmp_path, f"{utt_id}.wav")
+            write_wav(p, rng.standard_normal(int(16000 * secs)) * 0.1)
+            fw.write(f"{utt_id} {p}\n")
+            ft.write(f"{utt_id} {text}\n")
+
+
+def test_wav_roundtrip_and_normalize(tmp_path):
+    rng = np.random.default_rng(1)
+    wav_data = (rng.standard_normal(16000) * 0.2).astype(np.float32)
+    p = str(tmp_path / "a.wav")
+    write_wav(p, wav_data)
+    back, sr = read_wav(p)
+    assert sr == 16000
+    np.testing.assert_allclose(back, np.clip(wav_data, -1, 1), atol=1e-4)
+    norm = normalize_waveform(back)
+    assert abs(norm.mean()) < 1e-5 and abs(norm.std() - 1.0) < 1e-3
+
+
+def test_pipeline_end_to_end(tmp_path):
+    from tests.test_composite import tiny_cfg
+    cfg = tiny_cfg(train_mode="hybrid", talker_ctc=True)
+    tok = CharTokenizer()
+    sp = tok.add_special_tokens()
+    # rewire token ids into the tiny config
+    cfg.pad_token_id = sp.pad_token_id
+    cfg.sc_token_id = sp.sc_token_id
+    dc = DataConfig(bucket_boundaries_seconds=(0.6, 1.2), max_label_length=64,
+                    min_duration_in_seconds=0.05)
+
+    d = str(tmp_path / "train")
+    _write_kaldi(d, [("u1", "hello there<sc>good day", 0.5),
+                     ("u2", "one two<sc>three", 0.9),
+                     ("u3", "a<sc>b", 1.1),
+                     ("u4", "too long utt<sc>x", 3.0)])  # filtered (>1.2s? no: max 20s)
+    utts = load_kaldi_dir(d)
+    assert len(utts) == 4
+    dc2 = DataConfig(bucket_boundaries_seconds=(0.6, 1.2), max_label_length=64,
+                     max_duration_in_seconds=2.0, min_duration_in_seconds=0.05)
+    examples = [prepare_example(u, tok, dc2) for u in utts]
+    examples = [e for e in examples if e is not None]
+    assert len(examples) == 3  # u4 filtered by duration
+
+    batches = list(batches_from_examples(examples, cfg, dc2, batch_size=1,
+                                         shuffle=False, drop_last=False))
+    assert len(batches) == 3
+    for b in batches:
+        assert b.arrays["input_values"].shape[1] in (9600, 19200)
+        assert b.arrays["label_spks"].shape[0] == 2
+        assert b.arrays["decoder_input_ids"].shape == b.arrays["ce_labels"].shape
+
+    # batch of 2 same-bucket examples has one static audio shape
+    b2 = collate(examples[:2], cfg, dc2, training=True, label_pad_to=64)
+    assert b2.arrays["input_values"].shape == (2, 19200) or \
+           b2.arrays["input_values"].shape[0] == 2
+
+
+def test_specaugment_mask_stats():
+    rng = np.random.default_rng(0)
+    B, T = 8, 200
+    lens = np.array([200, 150, 100, 200, 180, 120, 90, 200])
+    amask = (np.arange(T)[None, :] < lens[:, None]).astype(int)
+    m = compute_mask_indices((B, T), 0.2, 10, attention_mask=amask,
+                             min_masks=2, rng=rng)
+    assert m.shape == (B, T)
+    assert m.sum() > 0
+    # no masks start beyond each row's valid length
+    for b in range(B):
+        assert not m[b, lens[b]:].any() or lens[b] == T
+
+
+def test_prompt_template_matches_reference():
+    p, i = build_prompt_and_input("transcribe both speakers", "hi<sc>yo")
+    assert p == ("<bos_prompt>transcribe both speakers<eos_prompt>"
+                 "<bos_speech><eos_speech><bos_response>")
+    assert i == "hi<sc>yo<eos_response>"
+    tok = CharTokenizer()
+    tok.add_special_tokens(instruct=True)
+    ids = tok.encode(p + i, add_bos=False)
+    assert tok.vocab["<bos_prompt>"] in ids
+    assert tok.decode(ids) == "transcribe both speakershiyo"
+
+
+@pytest.mark.parametrize("char_mode", [False, True])
+def test_wer_matches_reference_scorer(tmp_path, char_mode):
+    rng = np.random.default_rng(42)
+    words = ["the", "cat", "sat", "on", "mat", "dog", "ran", "far", "追", "猫"]
+    refs, hyps = {}, {}
+    for i in range(25):
+        n = rng.integers(1, 12)
+        ref = [words[k] for k in rng.integers(0, len(words), n)]
+        hyp = [w if rng.random() > 0.3 else words[rng.integers(0, len(words))]
+               for w in ref]
+        if rng.random() < 0.3 and hyp:
+            hyp = hyp[:-1]          # deletion
+        if rng.random() < 0.3:
+            hyp.append(words[rng.integers(0, len(words))])  # insertion
+        refs[f"utt{i}"] = " ".join(ref)
+        hyps[f"utt{i}"] = " ".join(hyp)
+
+    ref_p, hyp_p = str(tmp_path / "ref.txt"), str(tmp_path / "hyp.txt")
+    with open(ref_p, "w") as f:
+        for k, v in refs.items():
+            f.write(f"{k} {v}\n")
+    with open(hyp_p, "w") as f:
+        for k, v in hyps.items():
+            f.write(f"{k} {v}\n")
+
+    out = subprocess.run(
+        [sys.executable, REF_WER, f"--char={int(char_mode)}", "--v=0",
+         ref_p, hyp_p],
+        capture_output=True, text=True, check=True).stdout
+    m = re.search(r"Overall -> (\d+\.\d+) %.*N=(\d+) C=(\d+) S=(\d+) D=(\d+) I=(\d+)", out)
+    assert m, out
+
+    calc = Calculator(char_mode=char_mode)
+    for k in refs:
+        calc.calculate(k, refs[k], hyps[k])
+    t = calc.overall()
+    assert (round(t.wer, 2), t.all, t.cor, t.sub, t.dele, t.ins) == \
+        (float(m.group(1)), *(int(m.group(i)) for i in range(2, 7))), out
+
+
+def test_cpwer():
+    w, perm = cpwer(["hello world", "good day"], ["good day", "hello world"])
+    assert w == 0.0 and perm == (1, 0)
+    w2, _ = cpwer(["a b c", "d e"], ["a b c", "d x"])
+    assert abs(w2 - 100.0 / 5) < 1e-6
+    # unequal stream counts: pad with empty
+    w3, _ = cpwer(["a b"], ["a b", "c"])
+    assert w3 > 0
