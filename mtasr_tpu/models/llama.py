@@ -34,19 +34,27 @@ from mtasr_tpu.ops.rope import apply_rotary_emb, compute_rope_freqs, rope_cos_si
 
 @dataclass
 class KVCache:
-    """Preallocated cache: k/v [n_layers, B, S_max, H_kv, D] and a [B, S_max]
-    key-validity mask (False = empty or padding slot)."""
-    k: jax.Array
-    v: jax.Array
+    """Preallocated cache. k/v are PER-LAYER tuples of [B, S_max, H_kv, D]
+    buffers (not one stacked array) so a decode step updates only its own
+    layer's buffer via dynamic_update_slice — a stacked [L, ...] array would
+    make XLA copy the whole stack on every `.at[layer].set`. `valid` is a
+    [B, S_max] key-validity mask (False = empty or padding slot)."""
+    k: Tuple[jax.Array, ...]
+    v: Tuple[jax.Array, ...]
     valid: jax.Array
 
     @classmethod
     def init(cls, cfg: LlamaConfig, batch: int, max_len: int,
              dtype=jnp.bfloat16) -> "KVCache":
-        shape = (cfg.num_hidden_layers, batch, max_len,
-                 cfg.num_key_value_heads, cfg.head_dim_)
-        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+        shape = (batch, max_len, cfg.num_key_value_heads, cfg.head_dim_)
+        n = cfg.num_hidden_layers
+        return cls(k=tuple(jnp.zeros(shape, dtype) for _ in range(n)),
+                   v=tuple(jnp.zeros(shape, dtype) for _ in range(n)),
                    valid=jnp.zeros((batch, max_len), jnp.bool_))
+
+    @property
+    def max_len(self) -> int:
+        return self.k[0].shape[1]
 
 
 jax.tree_util.register_dataclass(KVCache, data_fields=["k", "v", "valid"],
@@ -121,13 +129,14 @@ def _attention(p: dict, cfg: LlamaConfig, x: jax.Array,
     q, k = apply_rotary_emb(q, k, cos, sin)
 
     if kv_cache is not None:
+        buf_k, buf_v = kv_cache.k[layer_idx], kv_cache.v[layer_idx]
         k_all = jax.lax.dynamic_update_slice(
-            kv_cache.k[layer_idx], k.astype(kv_cache.k.dtype), (0, cache_offset, 0, 0))
+            buf_k, k.astype(buf_k.dtype), (0, cache_offset, 0, 0))
         v_all = jax.lax.dynamic_update_slice(
-            kv_cache.v[layer_idx], v.astype(kv_cache.v.dtype), (0, cache_offset, 0, 0))
-        kv_cache = KVCache(k=kv_cache.k.at[layer_idx].set(k_all),
-                           v=kv_cache.v.at[layer_idx].set(v_all),
-                           valid=kv_cache.valid)
+            buf_v, v.astype(buf_v.dtype), (0, cache_offset, 0, 0))
+        new_k = kv_cache.k[:layer_idx] + (k_all,) + kv_cache.k[layer_idx + 1:]
+        new_v = kv_cache.v[:layer_idx] + (v_all,) + kv_cache.v[layer_idx + 1:]
+        kv_cache = KVCache(k=new_k, v=new_v, valid=kv_cache.valid)
         k_use, v_use = k_all.astype(x.dtype), v_all.astype(x.dtype)
     else:
         k_use, v_use = k, v
@@ -168,7 +177,7 @@ def llama_forward(
                             dtype=inputs_embeds.dtype)
 
     # Build the attention mask once, shared by all layers.
-    S = kv_cache.k.shape[2] if kv_cache is not None else L
+    S = kv_cache.max_len if kv_cache is not None else L
     j = jnp.arange(S)[None, None, :]
     i_abs = cache_offset + jnp.arange(L)[None, :, None]
     mask = j <= i_abs                                            # [1, L, S]

@@ -110,6 +110,11 @@ def init_model_params(key: jax.Array, cfg: SpeechEncoderDecoderConfig,
     if cfg.talker_ctc_refine:
         p["serilized_refine"] = init_frame_refiner_params(ks[5], d50,
                                                           dtype=dtype)
+    if cfg.ctc_bridge and cfg.ctc_bridge_type == "softmax":
+        from mtasr_tpu.models.refiners import init_extractor_concat
+        p["ctc_extractor_concat"] = init_extractor_concat(
+            ks[7], d50, enc_out_dim, cfg.talker_numbers, use_repair=True,
+            dtype=dtype)
     if cfg.decoder_cross_attention:
         adap = {}
         for i, ak in enumerate(jax.random.split(
@@ -187,6 +192,21 @@ def encode_speech(
         else:
             pad = jnp.repeat(rep[:, -1:], Ts - rep.shape[1], axis=1)
             encoder_attention_mask = jnp.concatenate([rep, pad], axis=1)
+    elif cfg.ctc_bridge and cfg.ctc_bridge_type == "softmax":
+        # soft per-speaker routing of the mixed 50 Hz features, concat K
+        # streams along time (CTCPerSpeakerExtractorConcatSoftmax; the
+        # reference constructs this for ctc_bridge_type='softmax' at
+        # modeling...llama.py:264-275)
+        from mtasr_tpu.models.ctc_head import ctc_logits
+        from mtasr_tpu.models.refiners import extractor_concat_softmax
+        heads = _ctc_head_list(params, cfg)
+        logits_list = [ctc_logits(heads[i], sep_hidden[i])
+                       for i in range(cfg.talker_numbers)]
+        x_cat = extractor_concat_softmax(
+            params["ctc_extractor_concat"], mixed, cfg.ctc_blank_id,
+            logits_list, cfg.talker_numbers)
+        encoder_hidden_states = _proj_to_decoder(params, x_cat)
+        encoder_attention_mask = jnp.tile(mask_x0, (1, cfg.talker_numbers))
     elif cfg.ctc_bridge and cfg.ctc_bridge_type == "ctcprompt":
         # collapsed per-speaker CTC transcripts embedded as a prefix
         # (reference 643-668)
