@@ -123,6 +123,14 @@ def main(argv=None):
             trans, _ = generate_ctc(params, cfg, wav, amask,
                                     max_out_len=args.max_length)
             seqs = np.asarray(trans)
+        elif args.num_beams > 1:
+            from mtasr_tpu.generate.beam import beam_generate
+            prompt = (jnp.asarray(batch.arrays["prompt_ids"])
+                      if "prompt_ids" in batch.arrays else None)
+            out = beam_generate(params, cfg, wav, amask, prompt_ids=prompt,
+                                num_beams=args.num_beams,
+                                max_new_tokens=args.max_length)
+            seqs = np.asarray(out.sequences)[:, 0]   # best beam
         else:
             prompt = (jnp.asarray(batch.arrays["prompt_ids"])
                       if "prompt_ids" in batch.arrays else None)

@@ -1,0 +1,60 @@
+"""Multi-host initialization + host-level data sharding.
+
+Replaces the reference's NCCL process-group setup
+(/root/reference/inference_asr_gpus.py:50-66: init_process_group, LOCAL_RANK
+-> device, dataset.shard, barrier, rank-0 merge) with the JAX equivalents:
+`jax.distributed.initialize()` per host, shard-by-process-index at the data
+level, and XLA collectives for everything on-device.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import jax
+import numpy as np
+
+logger = logging.getLogger("mtasr_tpu.multihost")
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Call once per host before any jax op in a multi-host job. On single
+    host this is a no-op. On TPU pods the arguments are auto-detected from
+    the environment."""
+    if num_processes is not None and num_processes <= 1:
+        return
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        logger.info("distributed: process %d/%d, %d local / %d global devices",
+                    jax.process_index(), jax.process_count(),
+                    jax.local_device_count(), jax.device_count())
+    except Exception as e:  # single-host fallback
+        logger.info("jax.distributed.initialize skipped: %s", e)
+
+
+def process_shard(n_items: int) -> slice:
+    """This host's contiguous shard of a dataset (dataset.shard pattern)."""
+    pid, pcount = jax.process_index(), jax.process_count()
+    per = (n_items + pcount - 1) // pcount
+    return slice(pid * per, min((pid + 1) * per, n_items))
+
+
+def barrier(name: str = "barrier") -> None:
+    """Cross-host sync (the reference's dist.barrier before rank-0 merge)."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(name)
+
+
+def host_broadcast(x: np.ndarray) -> np.ndarray:
+    """Broadcast host-0 data to every host (the rank-0-decides pattern,
+    reference modeling_llama.py:79-84 layer-drop broadcast)."""
+    if jax.process_count() == 1:
+        return x
+    from jax.experimental import multihost_utils
+    return multihost_utils.broadcast_one_to_all(x)

@@ -1,0 +1,126 @@
+"""ctypes bindings for the native C++ runtime components (native/*.cpp).
+
+The shared library is built on first use with g++ (baked into the image) and
+cached under native/build/. Every binding has a pure-Python fallback so the
+framework works without a toolchain.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+_NATIVE_DIR = os.path.join(_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libwer.so")
+_lib: Optional[ctypes.CDLL] = None
+_lib_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-s", "-C", _NATIVE_DIR],
+                       check=True, capture_output=True, timeout=120)
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_tried
+    if _lib is not None or _lib_tried:
+        return _lib
+    _lib_tried = True
+    if not os.path.exists(_LIB_PATH) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.wer_align.restype = ctypes.c_int64
+        lib.wer_align.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.wer_align_batch.restype = None
+        lib.cpwer_best_perm.restype = None
+        _lib = lib
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def _as_i32(a) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(a, dtype=np.int32))
+
+
+def wer_align_native(lab_ids: Sequence[int],
+                     rec_ids: Sequence[int]) -> Optional[Tuple[int, ...]]:
+    """Returns (all, cor, sub, del, ins) or None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    lab = _as_i32(lab_ids)
+    rec = _as_i32(rec_ids)
+    counts = np.zeros(5, np.int64)
+    lib.wer_align(
+        lab.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(lab),
+        rec.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(rec),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return tuple(int(x) for x in counts)
+
+
+def _pack(seqs: Sequence[Sequence[int]]):
+    off = np.zeros(len(seqs) + 1, np.int64)
+    for i, s in enumerate(seqs):
+        off[i + 1] = off[i] + len(s)
+    flat = np.zeros(int(off[-1]), np.int32)
+    for i, s in enumerate(seqs):
+        flat[off[i]:off[i + 1]] = np.asarray(s, np.int32)
+    return flat, off
+
+
+def wer_align_batch_native(lab_seqs: Sequence[Sequence[int]],
+                           rec_seqs: Sequence[Sequence[int]]
+                           ) -> Optional[np.ndarray]:
+    """Returns [P, 5] counts or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    lab_flat, lab_off = _pack(lab_seqs)
+    rec_flat, rec_off = _pack(rec_seqs)
+    out = np.zeros((len(lab_seqs), 5), np.int64)
+    lib.wer_align_batch(
+        lab_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lab_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        rec_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        rec_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(lab_seqs),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out
+
+
+def cpwer_native(ref_seqs: Sequence[Sequence[int]],
+                 hyp_seqs: Sequence[Sequence[int]]
+                 ) -> Optional[Tuple[float, Tuple[int, ...]]]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    K = max(len(ref_seqs), len(hyp_seqs))
+    refs = list(ref_seqs) + [[]] * (K - len(ref_seqs))
+    hyps = list(hyp_seqs) + [[]] * (K - len(hyp_seqs))
+    ref_flat, ref_off = _pack(refs)
+    hyp_flat, hyp_off = _pack(hyps)
+    err = ctypes.c_int64()
+    total = ctypes.c_int64()
+    perm = np.zeros(K, np.int64)
+    lib.cpwer_best_perm(
+        ref_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ref_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        hyp_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        hyp_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        K, ctypes.byref(err), ctypes.byref(total),
+        perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    wer_pct = 100.0 * err.value / max(total.value, 1)
+    return wer_pct, tuple(int(p) for p in perm)

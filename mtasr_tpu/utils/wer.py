@@ -178,10 +178,15 @@ def align(lab: Sequence[str], rec: Sequence[str]) -> EditStats:
 
 
 class Calculator:
-    """Accumulating scorer matching the reference Calculator's interface."""
+    """Accumulating scorer matching the reference Calculator's interface.
+
+    The O(n*m) alignment runs in the native C++ kernel
+    (native/wer_kernel.cpp via utils/native.py) when available and alignment
+    strings are not needed; falls back to the pure-Python path (identical
+    cost model) otherwise."""
 
     def __init__(self, char_mode: bool = False, case_sensitive: bool = False,
-                 ignore_words: Optional[set] = None):
+                 ignore_words: Optional[set] = None, use_native: bool = True):
         self.char_mode = char_mode
         self.case_sensitive = case_sensitive
         self.ignore_words = set(ignore_words or ())
@@ -189,13 +194,34 @@ class Calculator:
             self.ignore_words = {w.upper() for w in self.ignore_words}
         self.total = EditStats()
         self.per_utt: Dict[str, EditStats] = {}
+        self.use_native = use_native
+        self._vocab: Dict[str, int] = {}
 
     def _prep(self, text: str) -> List[str]:
         return normalize_tokens(tokenize(text, self.char_mode),
                                 self.ignore_words, self.case_sensitive)
 
-    def calculate(self, utt_id: str, lab_text: str, rec_text: str) -> EditStats:
-        stats = align(self._prep(lab_text), self._prep(rec_text))
+    def _ids(self, tokens: Sequence[str]) -> List[int]:
+        out = []
+        for t in tokens:
+            if t not in self._vocab:
+                self._vocab[t] = len(self._vocab)
+            out.append(self._vocab[t])
+        return out
+
+    def calculate(self, utt_id: str, lab_text: str, rec_text: str,
+                  need_alignment: bool = False) -> EditStats:
+        lab, rec = self._prep(lab_text), self._prep(rec_text)
+        stats = None
+        if self.use_native and not need_alignment:
+            from mtasr_tpu.utils.native import wer_align_native
+            counts = wer_align_native(self._ids(lab), self._ids(rec))
+            if counts is not None:
+                stats = EditStats(all=counts[0], cor=counts[1],
+                                  sub=counts[2], dele=counts[3],
+                                  ins=counts[4])
+        if stats is None:
+            stats = align(lab, rec)
         self.per_utt[utt_id] = stats
         self.total.add(stats)
         return stats
@@ -231,6 +257,19 @@ def cpwer(ref_streams: Sequence[str], hyp_streams: Sequence[str],
 
     ref_toks = [prep(r) for r in refs]
     hyp_toks = [prep(h) for h in hyps]
+
+    # native fast path (enumerates K! in C++)
+    from mtasr_tpu.utils.native import cpwer_native
+    vocab: dict = {}
+
+    def ids(toks):
+        return [vocab.setdefault(t, len(vocab)) for t in toks]
+
+    native = cpwer_native([ids(r) for r in ref_toks],
+                          [ids(h) for h in hyp_toks])
+    if native is not None:
+        return native
+
     best = None
     best_perm = None
     for perm in itertools.permutations(range(K)):
@@ -257,7 +296,7 @@ def score_files(ref_path: str, hyp_path: str, char_mode: bool = False,
     lines = []
     for utt_id, ref in refs.items():
         hyp = hyps.get(utt_id, "")
-        stats = calc.calculate(utt_id, ref, hyp)
+        stats = calc.calculate(utt_id, ref, hyp, need_alignment=verbose)
         if verbose:
             lines.append(f"utt: {utt_id}")
             lines.append("lab: " + " ".join(stats.lab_align))

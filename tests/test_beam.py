@@ -1,0 +1,63 @@
+"""Beam search tests: W=1 equals greedy; beams are distinct, sorted, and
+score-consistent; instruct path works."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mtasr_tpu.generate import generate
+from mtasr_tpu.generate.beam import beam_generate
+from mtasr_tpu.models.speech_encoder_decoder import init_model_params
+from tests.test_composite import EOS, PAD, make_batch, tiny_cfg
+
+
+def test_beam1_matches_greedy():
+    cfg = tiny_cfg(train_mode="attention")
+    params = init_model_params(jax.random.key(11), cfg)
+    wav, amask, _ = make_batch(cfg, B=2, S=8000, seed=20)
+    greedy = generate(params, cfg, jnp.asarray(wav), jnp.asarray(amask),
+                      max_new_tokens=6)
+    beam = beam_generate(params, cfg, jnp.asarray(wav), jnp.asarray(amask),
+                         num_beams=1, max_new_tokens=6)
+    g = np.asarray(greedy.sequences)
+    b = np.asarray(beam.sequences)[:, 0]
+    for row_g, row_b in zip(g, b):
+        for t in range(6):
+            assert row_g[t] == row_b[t]
+            if row_g[t] == EOS:
+                break
+
+
+def test_beam_search_properties():
+    cfg = tiny_cfg(train_mode="attention")
+    params = init_model_params(jax.random.key(12), cfg)
+    wav, amask, _ = make_batch(cfg, B=2, S=8000, seed=21)
+    out = beam_generate(params, cfg, jnp.asarray(wav), jnp.asarray(amask),
+                        num_beams=4, max_new_tokens=6)
+    scores = np.asarray(out.scores)
+    seqs = np.asarray(out.sequences)
+    assert seqs.shape == (2, 4, 6)
+    # scores sorted descending per batch
+    assert np.all(np.diff(scores, axis=1) <= 1e-6)
+    # top beams distinct
+    for b in range(2):
+        assert not np.array_equal(seqs[b, 0], seqs[b, 1])
+    # beam-4 top-1 should score >= greedy continuation under the same model
+    g1 = beam_generate(params, cfg, jnp.asarray(wav), jnp.asarray(amask),
+                       num_beams=1, max_new_tokens=6)
+    assert np.all(scores[:, 0] >= np.asarray(g1.scores)[:, 0] - 1e-4)
+
+
+def test_beam_instruct():
+    cfg = tiny_cfg(train_mode="attention", instruct=True,
+                   bosp_token_id=52, eosp_token_id=53, boss_token_id=54,
+                   eoss_token_id=55, bosr_token_id=56, eosr_token_id=57)
+    params = init_model_params(jax.random.key(13), cfg)
+    wav, amask, _ = make_batch(cfg, B=2, S=8000, seed=22)
+    prompt = np.tile(np.array([[52, 30, 31, 53, 54, 55, 56]], np.int32),
+                     (2, 1))
+    out = beam_generate(params, cfg, jnp.asarray(wav), jnp.asarray(amask),
+                        prompt_ids=jnp.asarray(prompt), num_beams=2,
+                        max_new_tokens=4)
+    assert np.asarray(out.sequences).shape == (2, 2, 4)
