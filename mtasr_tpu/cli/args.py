@@ -42,6 +42,11 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     g.add_argument("--apply_spec_augment", action="store_true")
     g.add_argument("--use_lora", action="store_true",
                    help="insert decoder LoRA adapters (PEFT-equivalent)")
+    g.add_argument("--attention_impl", type=str, default="xla",
+                   choices=["xla", "flash"],
+                   help="encoder attention backend (flash = Pallas kernel)")
+    g.add_argument("--gradient_checkpointing", action="store_true",
+                   help="rematerialize encoder+decoder layers in backward")
 
 
 def add_data_args(p: argparse.ArgumentParser) -> None:

@@ -53,6 +53,10 @@ def main(argv=None):
                  "instruct"):
         if hasattr(args, name) and getattr(args, name) is not None:
             setattr(cfg, name, getattr(args, name))
+    cfg.encoder.attention_impl = args.attention_impl
+    if args.gradient_checkpointing:
+        cfg.encoder.remat = True
+        cfg.decoder.remat = True
 
     if args.pretrain_separator_path:
         _, donor = load_model(args.pretrain_separator_path)

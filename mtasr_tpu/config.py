@@ -57,6 +57,14 @@ class WavLMConfig:
     activation_dropout: float = 0.1
     feat_proj_dropout: float = 0.0
     layerdrop: float = 0.0  # reference sets layerdrop=0 at assembly time
+    # attention implementation: 'xla' (fused by the compiler, materializes
+    # the gated rel-pos bias) or 'flash' (Pallas kernel, composes the bias
+    # in VMEM — wins at large batch*length where the [B,H,T,S] bias
+    # dominates HBM traffic)
+    attention_impl: str = "xla"
+    # rematerialize each encoder layer in backward (jax.checkpoint) — the
+    # gradient_checkpointing equivalent, trades FLOPs for activation memory
+    remat: bool = False
 
     @property
     def out_hidden(self) -> int:
@@ -121,6 +129,8 @@ class LlamaConfig:
     bos_token_id: int = 128000
     eos_token_id: int = 128001
     pad_token_id: Optional[int] = None
+    # rematerialize decoder layers in backward (gradient checkpointing)
+    remat: bool = False
 
     @property
     def head_dim_(self) -> int:

@@ -176,8 +176,9 @@ def beam_generate(params, cfg: SpeechEncoderDecoderConfig,
                   prompt_ids: Optional[jax.Array] = None,
                   num_beams: int = 4, max_new_tokens: int = 150,
                   length_penalty: float = 1.0) -> BeamOutput:
+    from mtasr_tpu.generate.engine import _encode_jit
     B = input_values.shape[0]
-    enc = encode_speech(params, cfg, input_values, audio_mask)
+    enc = _encode_jit(params, cfg, input_values, audio_mask)
     bos = jnp.full((B, 1), cfg.decoder_start_token_id, jnp.int32)
     if cfg.instruct:
         if prompt_ids is None:

@@ -196,17 +196,28 @@ def llama_forward(
     hidden = inputs_embeds
     for idx in range(cfg.num_hidden_layers):
         lp = params["model"]["layers"][str(idx)]
-        residual = hidden
-        h = rms_norm(hidden, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
-        h, kv_cache = _attention(lp["self_attn"], cfg, h, cos, sin, mask, idx,
-                                 kv_cache, cache_offset)
-        hidden = residual + h
-        if layer_callback is not None:
-            hidden = layer_callback(idx, hidden)
-        residual = hidden
-        h = rms_norm(hidden, lp["post_attention_layernorm"]["weight"],
-                     cfg.rms_norm_eps)
-        hidden = residual + _mlp(lp["mlp"], h)
+
+        def layer_fn(lp, hidden, kv_cache, idx=idx):
+            residual = hidden
+            h = rms_norm(hidden, lp["input_layernorm"]["weight"],
+                         cfg.rms_norm_eps)
+            h, kv_cache = _attention(lp["self_attn"], cfg, h, cos, sin, mask,
+                                     idx, kv_cache, cache_offset)
+            hidden = residual + h
+            if layer_callback is not None:
+                hidden = layer_callback(idx, hidden)
+            residual = hidden
+            h = rms_norm(hidden, lp["post_attention_layernorm"]["weight"],
+                         cfg.rms_norm_eps)
+            return residual + _mlp(lp["mlp"], h), kv_cache
+
+        if cfg.remat and kv_cache is None:
+            # gradient checkpointing (reference supports_gradient_checkpointing;
+            # here per-layer jax.checkpoint with matmul-output saving)
+            layer_fn = jax.checkpoint(
+                layer_fn,
+                policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims)
+        hidden, kv_cache = layer_fn(lp, hidden, kv_cache)
 
     hidden = rms_norm(hidden, params["model"]["norm"]["weight"], cfg.rms_norm_eps)
     if logits_to_keep:

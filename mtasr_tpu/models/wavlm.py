@@ -182,6 +182,23 @@ def feature_encoder(p: dict, cfg: WavLMConfig, input_values: jax.Array) -> jax.A
     return x
 
 
+def _attention_gate(p: dict, x: jax.Array, n_heads: int) -> jax.Array:
+    """Per-(batch, head, query) scalar gate for the shared rel-pos bias
+    (the query-dependent half of HF's gated_position_bias)."""
+    B, T, E = x.shape
+    head_dim = E // n_heads
+    gh = x.reshape(B, T, n_heads, head_dim)
+    w = p["gru_rel_pos_linear"]["weight"].astype(x.dtype)
+    b = p["gru_rel_pos_linear"]["bias"].astype(x.dtype)
+    proj = jnp.einsum("bthd,ed->bthe", gh, w) + b
+    proj = proj.reshape(B, T, n_heads, 2, 4).sum(-1)
+    gates = jax.nn.sigmoid(proj)
+    gate_a, gate_b = gates[..., 0], gates[..., 1]
+    gate_out = gate_a * (gate_b * p["gru_rel_pos_const"].astype(x.dtype)
+                         [None, None, :] - 1.0) + 2.0
+    return gate_out.transpose(0, 2, 1)        # [B, H, T]
+
+
 def _wavlm_attention(p: dict, cfg: WavLMConfig, x: jax.Array,
                      position_bias: jax.Array,
                      key_valid_mask: Optional[jax.Array]) -> jax.Array:
@@ -192,14 +209,22 @@ def _wavlm_attention(p: dict, cfg: WavLMConfig, x: jax.Array,
     k = linear(p["k_proj"], x).reshape(B, T, H, D)
     v = linear(p["v_proj"], x).reshape(B, T, H, D)
 
-    bias = gated_position_bias(
-        position_bias, x, p["gru_rel_pos_linear"]["weight"].T,
-        p["gru_rel_pos_linear"]["bias"], p["gru_rel_pos_const"], H)
-
-    mask = None
-    if key_valid_mask is not None:
-        mask = key_valid_mask[:, None, None, :]
-    out = dot_product_attention(q, k, v, bias=bias, mask=mask)
+    if cfg.attention_impl == "flash":
+        from mtasr_tpu.ops.pallas.flash_attention import flash_attention
+        gate = _attention_gate(p, x, H)
+        kv_lens = (jnp.sum(key_valid_mask.astype(jnp.int32), -1)
+                   if key_valid_mask is not None else None)
+        out = flash_attention(q, k, v, kv_lens=kv_lens,
+                              pos_bias=position_bias.astype(x.dtype),
+                              gate=gate)
+    else:
+        bias = gated_position_bias(
+            position_bias, x, p["gru_rel_pos_linear"]["weight"].T,
+            p["gru_rel_pos_linear"]["bias"], p["gru_rel_pos_const"], H)
+        mask = None
+        if key_valid_mask is not None:
+            mask = key_valid_mask[:, None, None, :]
+        out = dot_product_attention(q, k, v, bias=bias, mask=mask)
     return linear(p["out_proj"], out.reshape(B, T, E))
 
 
@@ -250,25 +275,37 @@ def wavlm_encoder(p: dict, cfg: WavLMConfig, hidden: jax.Array,
         r_attn = r_ff = None
         if rng is not None:
             rng, r_attn, r_ff = jax.random.split(rng, 3)
-        if cfg.do_stable_layer_norm:
-            h = layer_norm(lp["layer_norm"], hidden, cfg.layer_norm_eps)
-            h = _wavlm_attention(lp["attention"], cfg, h, position_bias,
-                                 attention_mask)
-            h = dropout(h, cfg.hidden_dropout, r_attn, deterministic)
-            hidden = hidden + h
-            hidden = hidden + _feed_forward(
-                lp["feed_forward"], cfg,
-                layer_norm(lp["final_layer_norm"], hidden, cfg.layer_norm_eps),
-                deterministic, r_ff)
-        else:
-            h = _wavlm_attention(lp["attention"], cfg, hidden, position_bias,
-                                 attention_mask)
-            h = dropout(h, cfg.hidden_dropout, r_attn, deterministic)
-            hidden = hidden + h
-            hidden = layer_norm(lp["layer_norm"], hidden, cfg.layer_norm_eps)
-            hidden = hidden + _feed_forward(lp["feed_forward"], cfg, hidden,
-                                            deterministic, r_ff)
-            hidden = layer_norm(lp["final_layer_norm"], hidden, cfg.layer_norm_eps)
+
+        def layer_fn(lp, hidden):
+            if cfg.do_stable_layer_norm:
+                h = layer_norm(lp["layer_norm"], hidden, cfg.layer_norm_eps)
+                h = _wavlm_attention(lp["attention"], cfg, h, position_bias,
+                                     attention_mask)
+                h = dropout(h, cfg.hidden_dropout, r_attn, deterministic)
+                hidden = hidden + h
+                hidden = hidden + _feed_forward(
+                    lp["feed_forward"], cfg,
+                    layer_norm(lp["final_layer_norm"], hidden,
+                               cfg.layer_norm_eps),
+                    deterministic, r_ff)
+            else:
+                h = _wavlm_attention(lp["attention"], cfg, hidden,
+                                     position_bias, attention_mask)
+                h = dropout(h, cfg.hidden_dropout, r_attn, deterministic)
+                hidden = hidden + h
+                hidden = layer_norm(lp["layer_norm"], hidden,
+                                    cfg.layer_norm_eps)
+                hidden = hidden + _feed_forward(lp["feed_forward"], cfg,
+                                                hidden, deterministic, r_ff)
+                hidden = layer_norm(lp["final_layer_norm"], hidden,
+                                    cfg.layer_norm_eps)
+            return hidden
+
+        if cfg.remat:
+            layer_fn = jax.checkpoint(
+                layer_fn,
+                policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims)
+        hidden = layer_fn(lp, hidden)
 
     if cfg.do_stable_layer_norm:
         hidden = layer_norm(p["layer_norm"], hidden, cfg.layer_norm_eps)

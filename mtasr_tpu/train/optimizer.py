@@ -41,4 +41,8 @@ def make_optimizer(tc: TrainingConfig, trainable: Optional[dict] = None,
             optax.masked(tx, trainable),
             optax.masked(optax.set_to_zero(), frozen),
         )
+    if tc.gradient_accumulation_steps > 1:
+        # HF Trainer-style micro-batch accumulation: updates apply every
+        # k-th step, intermediate steps return zero updates
+        tx = optax.MultiSteps(tx, tc.gradient_accumulation_steps)
     return tx
