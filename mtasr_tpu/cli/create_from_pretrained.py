@@ -107,6 +107,9 @@ def main(argv=None):
         logger.info("check_generate OK: %s", out.sequences[0])
 
     save_model(args.output_dir, cfg, params)
+    if isinstance(tokenizer, CharTokenizer):
+        import os
+        tokenizer.save(os.path.join(args.output_dir, "char_tokenizer.json"))
     logger.info("saved composite model to %s", args.output_dir)
 
 

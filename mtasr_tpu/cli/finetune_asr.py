@@ -67,11 +67,17 @@ def main(argv=None):
         params["decoder_lora"] = init_decoder_lora(
             jax.random.key(0), params["decoder"], r=16, alpha=32.0)
 
-    tokenizer = (HFTokenizer(args.tokenizer_name) if args.tokenizer_name
-                 else CharTokenizer())
-    if isinstance(tokenizer, CharTokenizer):
-        sp = tokenizer.add_special_tokens(instruct=cfg.instruct)
-        cfg.pad_token_id, cfg.sc_token_id = sp.pad_token_id, sp.sc_token_id
+    if args.tokenizer_name:
+        tokenizer = HFTokenizer(args.tokenizer_name)
+    else:
+        import os as _os
+        saved = _os.path.join(args.model_name_or_path, "char_tokenizer.json")
+        if _os.path.exists(saved):
+            tokenizer = CharTokenizer.load(saved)
+        else:
+            tokenizer = CharTokenizer()
+            sp = tokenizer.add_special_tokens(instruct=cfg.instruct)
+            cfg.pad_token_id, cfg.sc_token_id = sp.pad_token_id, sp.sc_token_id
 
     dc = DataConfig(max_duration_in_seconds=args.max_duration_in_seconds,
                     min_duration_in_seconds=args.min_duration_in_seconds,
@@ -145,8 +151,11 @@ def main(argv=None):
         save_model(os.path.join(args.output_dir, "model_unmerge"), cfg, final)
         from mtasr_tpu.train.lora import merge_decoder_lora
         final = merge_decoder_lora(final)
-    save_model(os.path.join(args.output_dir, "final"), cfg, final)
-    logger.info("saved final model to %s", os.path.join(args.output_dir, "final"))
+    final_dir = os.path.join(args.output_dir, "final")
+    save_model(final_dir, cfg, final)
+    if isinstance(tokenizer, CharTokenizer):
+        tokenizer.save(os.path.join(final_dir, "char_tokenizer.json"))
+    logger.info("saved final model to %s", final_dir)
 
 
 if __name__ == "__main__":

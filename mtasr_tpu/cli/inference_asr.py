@@ -86,11 +86,16 @@ def main(argv=None):
     cfg, params = load_model(args.model_name_or_path)
     if args.instruct:
         cfg.instruct = True
-    tokenizer = (HFTokenizer(args.tokenizer_name) if args.tokenizer_name
-                 else CharTokenizer())
-    if isinstance(tokenizer, CharTokenizer):
-        sp = tokenizer.add_special_tokens(instruct=cfg.instruct)
-        cfg.pad_token_id, cfg.sc_token_id = sp.pad_token_id, sp.sc_token_id
+    if args.tokenizer_name:
+        tokenizer = HFTokenizer(args.tokenizer_name)
+    else:
+        saved = os.path.join(args.model_name_or_path, "char_tokenizer.json")
+        if os.path.exists(saved):
+            tokenizer = CharTokenizer.load(saved)
+        else:
+            tokenizer = CharTokenizer()
+            sp = tokenizer.add_special_tokens(instruct=cfg.instruct)
+            cfg.pad_token_id, cfg.sc_token_id = sp.pad_token_id, sp.sc_token_id
 
     dc = DataConfig(max_duration_in_seconds=args.max_duration_in_seconds,
                     min_duration_in_seconds=args.min_duration_in_seconds,

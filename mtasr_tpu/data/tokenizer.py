@@ -110,6 +110,39 @@ class CharTokenizer:
                 s.input_ids = ids
         return _Enc(self.encode(text))
 
+    def save(self, path: str) -> None:
+        import json
+        with open(path, "w") as f:
+            json.dump({"type": "char", "vocab": self.vocab,
+                       "specials": self.specials,
+                       "pad_token_id": self.pad_token_id}, f)
+
+    @classmethod
+    def load(cls, path: str) -> "CharTokenizer":
+        import json
+        with open(path) as f:
+            d = json.load(f)
+        tok = cls.__new__(cls)
+        tok.vocab = d["vocab"]
+        tok.inv = {v: k for k, v in tok.vocab.items()}
+        tok.specials = d["specials"]
+        tok.bos_token_id = 1
+        tok.eos_token_id = 2
+        tok.pad_token_id = d["pad_token_id"]
+        return tok
+
+
+def load_tokenizer(model_dir_or_name: str):
+    """Tokenizer resolution: a saved char tokenizer json inside a model dir,
+    else an HF tokenizer dir (reference src/tokenizer_loader.py)."""
+    import os
+    char_path = os.path.join(model_dir_or_name, "char_tokenizer.json")
+    if os.path.exists(char_path):
+        return CharTokenizer.load(char_path)
+    if os.path.isfile(model_dir_or_name) and model_dir_or_name.endswith(".json"):
+        return CharTokenizer.load(model_dir_or_name)
+    return HFTokenizer(model_dir_or_name)
+
 
 class HFTokenizer:
     """Wrapper over a local HF tokenizer (LLaMA). No hub access — path must
