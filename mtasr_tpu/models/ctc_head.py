@@ -35,9 +35,20 @@ def ctc_argmax(params: dict, hs: jax.Array) -> jax.Array:
 
 
 def ctc_head_loss(params: dict, hs: jax.Array, hlens: jax.Array,
-                  ys: jax.Array, ylens: jax.Array, blank_id: int) -> jax.Array:
+                  ys: jax.Array, ylens: jax.Array, blank_id: int,
+                  fused: bool = True) -> jax.Array:
     """Per-sample loss [B] (reference CTC.forward + loss_fn with
-    reduction='none'; ctc.py:51-65,129-160)."""
+    reduction='none'; ctc.py:51-65,129-160).
+
+    fused=True (default) uses the time-chunked custom-VJP path that never
+    materializes the [B, T, vocab+1] logits — required to train the
+    flagship (128k-vocab heads) on a single 16 GB chip (ops/ctc_fused.py)."""
+    if fused:
+        from mtasr_tpu.ops.ctc_fused import ctc_loss_from_hidden
+        w = params["ctc_lo"]["weight"]
+        b = params["ctc_lo"].get("bias",
+                                 jnp.zeros((w.shape[0],), w.dtype))
+        return ctc_loss_from_hidden(hs, w, b, hlens, ys, ylens, blank_id)
     logits = ctc_logits(params, hs).astype(jnp.float32)
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     return ctc_loss(log_probs, hlens, ys, ylens, blank_id)

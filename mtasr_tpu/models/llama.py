@@ -106,7 +106,10 @@ def embed_tokens(params: dict, cfg: LlamaConfig, input_ids: jax.Array,
     w = params["model"]["embed_tokens"]["weight"]
     if dtype is not None:
         w = w.astype(dtype)
-    return jnp.take(w, input_ids, axis=0)
+    # mode="clip": jnp.take's default out-of-bounds fill is NaN, which would
+    # silently poison the forward if an id ever exceeds the table (e.g. a
+    # config whose special tokens were not resized into the vocab)
+    return jnp.take(w, input_ids, axis=0, mode="clip")
 
 
 def lm_head(params: dict, cfg: LlamaConfig, hidden: jax.Array) -> jax.Array:

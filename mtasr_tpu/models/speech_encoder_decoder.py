@@ -86,6 +86,15 @@ jax.tree_util.register_dataclass(ForwardOutput,
 # ---------------------------------------------------------------------------
 def init_model_params(key: jax.Array, cfg: SpeechEncoderDecoderConfig,
                       dtype=jnp.float32) -> dict:
+    # special tokens must live inside the decoder vocab (the reference grows
+    # the embedding table at assembly: create_from_pretrained.py:276)
+    max_special = max(cfg.pad_token_id, cfg.sc_token_id,
+                      cfg.eosr_token_id if cfg.instruct else 0)
+    if max_special >= cfg.decoder.vocab_size:
+        raise ValueError(
+            f"special token id {max_special} >= decoder vocab_size "
+            f"{cfg.decoder.vocab_size}; resize the vocab (the assembly CLI "
+            "does this automatically)")
     ks = jax.random.split(key, 8)
     p: dict = {
         "encoder": init_wavlm_params(ks[0], cfg.encoder, dtype),
