@@ -290,8 +290,11 @@ class TrainingConfig:
     resume_from_checkpoint: Optional[str] = None
 
 
-@dataclass(eq=False)
+@dataclass(frozen=True)
 class GenerationConfig:
+    """Frozen + value-hashable: this object is a jit static argument, so
+    identity hashing would silently recompile the decode program every time
+    a caller constructs a fresh config."""
     max_length: int = 150          # max new tokens budget (inference_asr.py:187)
     max_new_tokens: Optional[int] = None
     num_beams: int = 1

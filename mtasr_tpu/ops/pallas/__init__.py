@@ -7,10 +7,11 @@
   ctc_kernel.py      -- CTC alpha recursion in VMEM (single kernel launch per
                         batch tile instead of a T-step XLA scan).
 
-Measured on v5e (2026-08, B=8 T=1000 H=16 D=64 rel-pos attention / B=16
-T=500 V=1024 L=64 CTC): XLA's fused paths beat these kernels (attention
-4.1 vs 6.9 ms; CTC fwd 5.1 vs 6.7 ms, grad 4.7 vs 15.2 ms), so the
-XLA implementations in ops/ are the defaults; these kernels are validated
-alternatives (exact-match forward) for shapes/memory regimes where
-materializing [T,S] scores or lattices would not fit.
+Measured on v5e (2026-08): with 512x512 blocks the flash kernel BEATS
+XLA's fused attention at WavLM-Large shapes (B=32 T=499 H=16 D=64 rel-pos:
+4.38 vs 5.90 ms; at small blocks it lost — block size is the whole game).
+The CTC lattice kernel matches the XLA scan exactly but is slower
+(fwd 6.7 vs 5.1 ms, grad 15.2 vs 4.7 ms), so the scan remains the CTC
+default while `attention_impl='flash'` is the fast path for encoder
+attention.
 """

@@ -231,8 +231,8 @@ def flash_attention(
     scale: Optional[float] = None,
     causal: bool = False,
     q_offset: int = 0,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 512,
+    block_k: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
     """Flash attention; returns [B, T, Hq, D]. With pos_bias+gate the score
