@@ -81,6 +81,19 @@ class Trainer:
                 self.cfg, splice_index=splice_index)
         return self._eval_steps[splice_index]
 
+    def _write_metrics(self, m: dict) -> None:
+        """Append-only JSONL metrics stream (the tensorboard/wandb
+        equivalent surface; reference reports via HF Trainer callbacks)."""
+        import json
+        import os
+        try:
+            os.makedirs(self.tc.output_dir, exist_ok=True)
+            with open(os.path.join(self.tc.output_dir, "metrics.jsonl"),
+                      "a") as f:
+                f.write(json.dumps(m) + "\n")
+        except OSError:
+            pass
+
     # -- checkpointing ------------------------------------------------------
     def save(self, output_dir: Optional[str] = None) -> str:
         out = output_dir or self.tc.output_dir
@@ -139,6 +152,7 @@ class Trainer:
                              samples_per_second=round(samples / dt, 2),
                              steps_per_second=round(self.state.step / dt, 3))
                     self.metrics_log.append(m)
+                    self._write_metrics(m)
                     logger.info("step %d: %s", self.state.step, m)
                 if self.state.step % self.tc.save_steps == 0:
                     self.save()
