@@ -38,6 +38,21 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    import json
+    import sys
+    argv = argv if argv is not None else sys.argv[1:]
+    # single-JSON-file invocation (reference finetune_asr.py:51-56 accepts
+    # one .json file of flag values)
+    if len(argv) == 1 and argv[0].endswith(".json"):
+        with open(argv[0]) as f:
+            flags = json.load(f)
+        argv = []
+        for k, v in flags.items():
+            if isinstance(v, bool):
+                if v:
+                    argv.append(f"--{k}")
+            else:
+                argv += [f"--{k}", str(v)]
     args = build_argparser().parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 

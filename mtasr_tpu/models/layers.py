@@ -41,7 +41,12 @@ def linear_init(key, in_dim: int, out_dim: int, bias: bool = True,
 
 
 def linear(p: dict, x: jax.Array) -> jax.Array:
-    y = jnp.einsum("...i,oi->...o", x, p["weight"].astype(x.dtype))
+    if "weight_q8" in p:
+        # weight-only int8 (utils/quantize.py): dequant folds into the dot
+        w = p["weight_q8"].astype(x.dtype) * p["scale"].astype(x.dtype)[:, None]
+        y = jnp.einsum("...i,oi->...o", x, w)
+    else:
+        y = jnp.einsum("...i,oi->...o", x, p["weight"].astype(x.dtype))
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y

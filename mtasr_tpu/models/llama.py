@@ -113,9 +113,14 @@ def embed_tokens(params: dict, cfg: LlamaConfig, input_ids: jax.Array,
 
 
 def lm_head(params: dict, cfg: LlamaConfig, hidden: jax.Array) -> jax.Array:
-    w = (params["lm_head"]["weight"] if "lm_head" in params
-         else params["model"]["embed_tokens"]["weight"])
-    return jnp.einsum("...h,vh->...v", hidden, w.astype(hidden.dtype))
+    if "lm_head" in params and "weight_q8" in params["lm_head"]:
+        p = params["lm_head"]
+        w = p["weight_q8"].astype(hidden.dtype) \
+            * p["scale"].astype(hidden.dtype)[:, None]
+    else:
+        w = (params["lm_head"]["weight"] if "lm_head" in params
+             else params["model"]["embed_tokens"]["weight"]).astype(hidden.dtype)
+    return jnp.einsum("...h,vh->...v", hidden, w)
 
 
 def _attention(p: dict, cfg: LlamaConfig, x: jax.Array,
