@@ -34,7 +34,7 @@ def main():
                                  attention_dropout=0.0, activation_dropout=0.0,
                                  attention_impl="flash")
         dec = llama_1b_config(vocab_size=128264)  # specials resized in
-        B, secs, max_new = 64, 10, 50
+        B, secs, max_new = 128, 10, 50
     else:
         enc = wavlm_large_config(num_hidden_layers=2, mask_time_prob=0.0,
                                  hidden_dropout=0.0, attention_dropout=0.0,
