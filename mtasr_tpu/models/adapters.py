@@ -160,3 +160,55 @@ def prune_lora_ranks(p: dict, gate_threshold: float = 0.1,
             float(np.asarray(p["lora_alpha"])) / max(1, new_r),
             p["lora_scale"].dtype)
     return p, (new_r or 0)
+
+
+# ---------------------------------------------------------------------------
+# shared acoustic cross-attn core + per-layer MLP wrappers
+# (crossatt_core_module.py — imported but never instantiated by the
+# reference's live config switch; provided for completeness)
+# ---------------------------------------------------------------------------
+def init_shared_core_params(key: jax.Array, hidden_size: int, mem_dim: int,
+                            attn_dim: int = 512, n_layers: int = 1,
+                            mlp_rank: int = 256, use_pre_mlp: bool = True,
+                            use_post_mlp: bool = False,
+                            dtype=jnp.float32) -> dict:
+    """One shared core (= a tiny adapter without gates) + per-layer small
+    residual MLPs."""
+    kc, *kl = jax.random.split(key, 1 + n_layers)
+    p: dict = {"core": init_adapter_params(kc, "tiny", hidden_size, mem_dim,
+                                           attn_dim, dtype=dtype),
+               "wrappers": {}}
+    for i, ki in enumerate(kl):
+        k1, k2, k3, k4 = jax.random.split(ki, 4)
+        w: dict = {}
+        if use_pre_mlp:
+            w["pre_mlp"] = {"0": linear_init(k1, hidden_size, mlp_rank,
+                                             dtype=dtype),
+                            "2": linear_init(k2, mlp_rank, hidden_size,
+                                             dtype=dtype)}
+        if use_post_mlp:
+            w["post_mlp"] = {"0": linear_init(k3, hidden_size, mlp_rank,
+                                              dtype=dtype),
+                             "2": linear_init(k4, mlp_rank, hidden_size,
+                                              dtype=dtype)}
+        p["wrappers"][str(i)] = w
+    return p
+
+
+def shared_core_forward(p: dict, layer_idx: int, hidden: jax.Array,
+                        mem: Optional[jax.Array],
+                        mem_mask: Optional[jax.Array] = None) -> jax.Array:
+    """PerLayerAcousticAdapterWrapper.forward: per-layer pre-MLP residual ->
+    shared core cross-attn -> optional post-MLP residual."""
+    if mem is None:
+        return hidden
+    w = p["wrappers"][str(layer_idx)]
+    x = hidden
+    if "pre_mlp" in w:
+        x = x + linear(w["pre_mlp"]["2"],
+                       jax.nn.silu(linear(w["pre_mlp"]["0"], x)))
+    x = adapter_forward(p["core"], "tiny", x, mem, mem_mask)
+    if "post_mlp" in w:
+        x = x + linear(w["post_mlp"]["2"],
+                       jax.nn.silu(linear(w["post_mlp"]["0"], x)))
+    return x

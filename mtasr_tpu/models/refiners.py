@@ -322,3 +322,104 @@ def extractor_concat_nng(
             Xk = layer_norm(p["ln_stream"], Xk)
         streams.append(Xk)
     return jnp.concatenate(streams, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# frame-guided per-speaker extractor (refiners_ctcprefix.py, experimental in
+# the reference — not imported by its live model; provided for completeness)
+# ---------------------------------------------------------------------------
+def init_extractor_frame_guided(key, d_in_m: int, d_in_s: int, d_model: int,
+                                K_spk: int, fuse_hidden: int = 0,
+                                dtype=jnp.float32) -> dict:
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    p: dict = {
+        "proj_m": linear_init(k1, d_in_m, d_model, dtype=dtype),
+        "proj_s": linear_init(k2, d_in_s, d_model, dtype=dtype),
+        "spk_tags": jax.random.normal(k3, (K_spk, d_model), dtype)
+        * (d_model ** -0.5),
+        "ln": layer_norm_init(d_model, dtype),
+        "ffn": {"0": linear_init(k4, d_model, 4 * d_model, dtype=dtype),
+                "2": linear_init(k5, 4 * d_model, d_model, dtype=dtype)},
+    }
+    if fuse_hidden > 0:
+        ka, kb = jax.random.split(k6)
+        p["fuse"] = {"0": linear_init(ka, 2 * d_model, fuse_hidden, dtype=dtype),
+                     "3": linear_init(kb, fuse_hidden, d_model, dtype=dtype)}
+    else:
+        p["fuse"] = {"0": linear_init(k6, 2 * d_model, d_model, dtype=dtype)}
+    return p
+
+
+def _smooth_mean_1d(A: jax.Array, win: int) -> jax.Array:
+    if win <= 1:
+        return A
+    pad = (win - 1) // 2
+    x = jnp.pad(A, ((0, 0), (pad, pad)), mode="edge")
+    kernel = jnp.ones((win,)) / win
+    return jax.vmap(lambda r: jnp.convolve(r, kernel, mode="valid"))(x)
+
+
+def _resample_time_nd(x: jax.Array, T: int) -> jax.Array:
+    """[B, T0, D] -> [B, T, D] linear (align_corners=False semantics)."""
+    B, T0, D = x.shape
+    flat = x.transpose(0, 2, 1).reshape(B * D, T0)
+    out = resample_to_len_1d(flat, T, mode="linear")
+    return out.reshape(B, D, T).transpose(0, 2, 1)
+
+
+def extractor_concat_frame_guided(
+    p: dict,
+    x_m: jax.Array,                       # [B, Tm, d_in_m]
+    blank_id: int,
+    sep_hidden_list: Sequence[jax.Array],  # K x [B, Tk, d_in_s]
+    logits_list: Sequence[jax.Array],      # K x [B, Tk, V]
+    *,
+    smooth_win: int = 3,
+    entropy_lambda: float = 0.0,
+    prob_floor: float = 0.0,
+    gate_mode: str = "pow",
+    gate_gamma: float = 1.0,
+    gate_cap: float = 1.25,
+    tag_scale: float = 1.2,
+) -> Tuple[jax.Array, jax.Array]:
+    """CTCPerSpeakerExtractorConcatFrameGuided semantics
+    (refiners_ctcprefix.py:7-247): per-speaker frame gates from 1-P(blank),
+    frame-wise fusion [X; Hk_r], residual sigmoid blend, tags, LN + FFN,
+    concat along time. Returns (X_concat [B, K*Tm, d], mask all-True)."""
+    B, Tm, _ = x_m.shape
+    K = len(sep_hidden_list)
+    X = linear(p["proj_m"], x_m)
+
+    streams = []
+    for k in range(K):
+        lg = jax.lax.stop_gradient(logits_list[k])
+        A = nonblank_from_logits(lg, blank_id)
+        if entropy_lambda > 0:
+            H = entropy_from_logits(lg)
+            A = A * jax.nn.sigmoid(-entropy_lambda * H)
+        if prob_floor > 0:
+            A = A * (A >= prob_floor)
+        if smooth_win > 1:
+            A = _smooth_mean_1d(A, smooth_win)
+        A = resample_to_len_1d(A, Tm, mode="linear")
+        if gate_mode == "pow":
+            w = jnp.clip(jnp.clip(A, 0.0, None) ** gate_gamma, None, gate_cap)
+        else:
+            w = gate_cap * jax.nn.sigmoid(gate_gamma * (A - 0.5))
+
+        Hk = linear(p["proj_s"], sep_hidden_list[k].astype(x_m.dtype))
+        Hk_r = _resample_time_nd(Hk, Tm)
+        fused_in = jnp.concatenate([X, Hk_r], axis=-1)
+        if "3" in p["fuse"]:
+            Yk = linear(p["fuse"]["3"], gelu(linear(p["fuse"]["0"], fused_in)))
+        else:
+            Yk = linear(p["fuse"]["0"], fused_in)
+        s = jax.nn.sigmoid(w)[..., None].astype(X.dtype)
+        Xk = (1.0 - s) * X + s * Yk
+        Xk = Xk + tag_scale * p["spk_tags"][k][None, None].astype(X.dtype)
+        Xk = layer_norm(p["ln"], Xk)
+        Xk = Xk + linear(p["ffn"]["2"], gelu(linear(p["ffn"]["0"], Xk)))
+        streams.append(Xk)
+
+    X_concat = jnp.concatenate(streams, axis=1)
+    return X_concat, jnp.ones((B, K * Tm), jnp.bool_)
