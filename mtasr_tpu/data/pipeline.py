@@ -100,18 +100,17 @@ def collate(examples: Sequence[PreparedExample],
     arrays: Dict[str, np.ndarray] = {
         "input_values": wav_batch, "audio_mask": amask,
     }
-    splice_index = 1
-    if training or True:  # label surgery also used for eval loss
-        surgery = build_training_arrays(
-            raw_labels, pad_token_id=cfg.pad_token_id,
-            decoder_start_token_id=cfg.decoder_start_token_id,
-            eos_token_id=cfg.eos_token_id, sc_token_id=cfg.sc_token_id,
-            talker_numbers=cfg.talker_numbers, instruct=cfg.instruct,
-            eosr_token_id=cfg.eosr_token_id, bosp_token_id=cfg.bosp_token_id,
-            eosp_token_id=cfg.eosp_token_id, bosr_token_id=cfg.bosr_token_id,
-            label_spk_pad_to=label_pad_to, split_speakers=cfg.talker_ctc)
-        splice_index = surgery.pop("splice_index")
-        arrays.update({k: np.asarray(v) for k, v in surgery.items()})
+    # label surgery runs for eval batches too (teacher-forced eval loss)
+    surgery = build_training_arrays(
+        raw_labels, pad_token_id=cfg.pad_token_id,
+        decoder_start_token_id=cfg.decoder_start_token_id,
+        eos_token_id=cfg.eos_token_id, sc_token_id=cfg.sc_token_id,
+        talker_numbers=cfg.talker_numbers, instruct=cfg.instruct,
+        eosr_token_id=cfg.eosr_token_id, bosp_token_id=cfg.bosp_token_id,
+        eosp_token_id=cfg.eosp_token_id, bosr_token_id=cfg.bosr_token_id,
+        label_spk_pad_to=label_pad_to, split_speakers=cfg.talker_ctc)
+    splice_index = surgery.pop("splice_index")
+    arrays.update({k: np.asarray(v) for k, v in surgery.items()})
 
     if cfg.instruct:
         P = max(len(e.prompt_ids) for e in examples)

@@ -133,7 +133,9 @@ class Trainer:
         epoch = 0
         while self.state.step < max_steps:
             epoch += 1
+            n_batches = 0
             for batch in train_batches():
+                n_batches += 1
                 if self.state.step >= max_steps:
                     break
                 rng, step_rng = jax.random.split(rng)
@@ -160,6 +162,9 @@ class Trainer:
                         and self.state.step % self.tc.eval_steps == 0):
                     em = self.evaluate(eval_batches(), eval_refs)
                     logger.info("eval @%d: %s", self.state.step, em)
+            if n_batches == 0:
+                logger.warning("no batches produced this epoch; stopping")
+                break
             if epoch >= self.tc.num_train_epochs and self.tc.max_steps <= 0:
                 break
         self.save()
