@@ -142,8 +142,13 @@ def main(argv=None):
             out = generate(params, cfg, wav, amask, prompt_ids=prompt, gen=gen)
             seqs = np.asarray(out.sequences)
         for i, utt_id in enumerate(batch.utt_ids):
-            hyp = tokenizer.decode(seqs[i])
-            label_f.write(f"{utt_id} {refs[utt_id]}\n")
+            # reference scoring keeps <sc> as a token in BOTH streams
+            # (inference_asr.py:158-165, 202-209)
+            from mtasr_tpu.utils.wer import clean_decoded_text
+            hyp = clean_decoded_text(
+                tokenizer.decode(seqs[i], skip_special_tokens=False))
+            ref = clean_decoded_text(refs[utt_id])
+            label_f.write(f"{utt_id} {ref}\n")
             decod_f.write(f"{utt_id} {hyp}\n")
         n_done += len(batch.utt_ids)
         logger.info("decoded %d utts", n_done)

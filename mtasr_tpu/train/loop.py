@@ -189,9 +189,12 @@ class Trainer:
                                arrays.get("audio_mask"), prompt_ids=prompt,
                                gen=self.gen_cfg)
                 seqs = np.asarray(out.sequences)
+                from mtasr_tpu.utils.wer import clean_decoded_text
                 for i, utt_id in enumerate(batch.utt_ids):
-                    hyp = self.tokenizer.decode(seqs[i])
-                    calc.calculate(utt_id, refs.get(utt_id, ""), hyp)
+                    hyp = clean_decoded_text(self.tokenizer.decode(
+                        seqs[i], skip_special_tokens=False))
+                    calc.calculate(utt_id, clean_decoded_text(
+                        refs.get(utt_id, "")), hyp)
         out_metrics = {"eval_loss": float(np.mean(losses)) if losses else 0.0}
         if calc is not None:
             out_metrics["eval_wer"] = calc.overall().wer

@@ -235,6 +235,23 @@ class Calculator:
                 f"D={t.dele} I={t.ins}")
 
 
+ALLOWED_SPECIAL_TOKENS = ("<sc>", "<bos_prompt>", "<eos_prompt>",
+                          "<bos_speech>", "<eos_speech>", "<bos_response>",
+                          "<eos_response>")
+
+
+def clean_decoded_text(text: str) -> str:
+    """Reference scoring normalization (inference_asr.py:158-165): keep the
+    task specials (notably <sc>, which IS scored as a token), drop every
+    other <...> special, space-join."""
+    import re
+    tokens = re.findall(r"<[^>]+>|[^<>\s]+", text)
+    return " ".join(
+        t for t in tokens
+        if t in ALLOWED_SPECIAL_TOKENS
+        or not (t.startswith("<") and t.endswith(">")))
+
+
 def wer(lab_text: str, rec_text: str, char_mode: bool = False,
         case_sensitive: bool = False) -> float:
     calc = Calculator(char_mode, case_sensitive)
