@@ -127,7 +127,7 @@ class Trainer:
               eval_refs: Optional[Dict[str, str]] = None,
               max_steps: Optional[int] = None) -> TrainState:
         max_steps = max_steps or self.tc.max_steps
-        rng = jax.random.key(self.tc.seed)
+        base_rng = jax.random.key(self.tc.seed)
         t_start = time.perf_counter()
         samples = 0
         epoch = 0
@@ -138,7 +138,11 @@ class Trainer:
                 n_batches += 1
                 if self.state.step >= max_steps:
                     break
-                rng, step_rng = jax.random.split(rng)
+                # rng is a pure function of (seed, step): resuming from a
+                # checkpoint reproduces the exact dropout stream (the
+                # reference reloads RNG state on resume for the same
+                # guarantee, trainer_seq2seq.py:1475-1485)
+                step_rng = jax.random.fold_in(base_rng, self.state.step)
                 arrays = {k: jnp.asarray(v) for k, v in batch.arrays.items()
                           if k != "prompt_ids"}
                 step_fn = self._train_step(batch.splice_index)

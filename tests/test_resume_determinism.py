@@ -1,0 +1,69 @@
+"""Checkpoint/resume determinism: training N steps straight equals training
+k steps, saving, restoring (params + opt state + step), and continuing."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mtasr_tpu.config import DataConfig, TrainingConfig
+from mtasr_tpu.models.speech_encoder_decoder import init_model_params
+from mtasr_tpu.train.loop import Trainer
+from mtasr_tpu.data.pipeline import Batch
+from tests.test_composite import make_batch, tiny_cfg
+
+
+def _batches(cfg, n=2):
+    outs = []
+    for seed in range(n):
+        wav, amask, arr = make_batch(cfg, seed=seed)
+        arrays = {"input_values": wav, "audio_mask": amask,
+                  "decoder_input_ids": arr["decoder_input_ids"],
+                  "ce_labels": arr["ce_labels"],
+                  "label_spks": arr["label_spks"],
+                  "label_spk_lens": arr["label_spk_lens"]}
+        outs.append(Batch(utt_ids=[f"u{seed}a", f"u{seed}b"], arrays=arrays,
+                          splice_index=1))
+    return outs
+
+
+def test_resume_bitwise_continuation(tmp_path):
+    cfg = tiny_cfg(train_mode="hybrid", talker_ctc=True)
+    dc = DataConfig()
+    # one identical batch repeated: the resumed run restarts the data
+    # iterator, so distinct batches would legitimately diverge — repetition
+    # isolates the state-restoration behavior
+    batches = _batches(cfg, 1) * 4
+
+    def make_trainer(outdir):
+        params = init_model_params(jax.random.key(0), cfg)
+        tc = TrainingConfig(output_dir=outdir, max_steps=4, logging_steps=1,
+                            save_steps=2, pcgrad=True, learning_rate=1e-3,
+                            warmup_steps=1, seed=7)
+        return Trainer(cfg, tc, dc, params, freeze_kwargs={"train_all": True})
+
+    # straight-through 4 steps
+    t1 = make_trainer(str(tmp_path / "a"))
+    t1.train(lambda: iter(batches), max_steps=4)
+    metrics_path = os.path.join(str(tmp_path / "a"), "metrics.jsonl")
+    assert os.path.exists(metrics_path)
+    assert len(open(metrics_path).readlines()) >= 4
+
+    # 2 steps -> save (save_steps=2 auto) -> fresh trainer -> resume -> 2 more
+    t2 = make_trainer(str(tmp_path / "b"))
+    t2.train(lambda: iter(batches[:2]), max_steps=2)
+    t3 = make_trainer(str(tmp_path / "b"))
+    assert t3.maybe_resume()
+    assert t3.state.step == 2
+    # continue on the same remaining batches with the same step-derived rng:
+    # replicate trainer rng folding by running the same Trainer.train path
+    t3.train(lambda: iter(batches), max_steps=4)
+
+    # per-step rng is fold_in(seed, step) -> the resumed run reproduces the
+    # exact dropout stream; continuation must be bitwise-identical
+    a = jax.tree_util.tree_leaves(t1.state.params)
+    b = jax.tree_util.tree_leaves(t3.state.params)
+    max_diff = max(float(jnp.max(jnp.abs(x - y))) for x, y in zip(a, b))
+    assert max_diff == 0.0, max_diff
