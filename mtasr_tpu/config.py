@@ -65,6 +65,9 @@ class WavLMConfig:
     # rematerialize each encoder layer in backward (jax.checkpoint) — the
     # gradient_checkpointing equivalent, trades FLOPs for activation memory
     remat: bool = False
+    # lax.scan over stacked layers 1..N-1 (layer 0 stays unrolled — it owns
+    # the rel-pos bias table): one compiled layer body instead of N
+    scan_layers: bool = False
 
     @property
     def out_hidden(self) -> int:
@@ -131,6 +134,11 @@ class LlamaConfig:
     pad_token_id: Optional[int] = None
     # rematerialize decoder layers in backward (gradient checkpointing)
     remat: bool = False
+    # lax.scan over stacked layer params on the no-cache (training) path:
+    # one layer body compiled instead of num_hidden_layers copies — cuts
+    # flagship train-step compile time drastically at the cost of one
+    # parameter restack per step (negligible vs step time)
+    scan_layers: bool = False
 
     @property
     def head_dim_(self) -> int:

@@ -202,6 +202,37 @@ def llama_forward(
     mask = mask[:, None, :, :]                                   # [B, 1, L, S]
 
     hidden = inputs_embeds
+
+    if cfg.scan_layers and kv_cache is None and layer_callback is None:
+        def scan_layer(hidden, lp):
+            residual = hidden
+            h = rms_norm(hidden, lp["input_layernorm"]["weight"],
+                         cfg.rms_norm_eps)
+            h, _ = _attention(lp["self_attn"], cfg, h, cos, sin, mask, 0,
+                              None, cache_offset)
+            hidden = residual + h
+            residual = hidden
+            h = rms_norm(hidden, lp["post_attention_layernorm"]["weight"],
+                         cfg.rms_norm_eps)
+            return residual + _mlp(lp["mlp"], h), None
+
+        if cfg.remat:
+            scan_layer = jax.checkpoint(
+                scan_layer,
+                policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims)
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs),
+            *[params["model"]["layers"][str(i)]
+              for i in range(cfg.num_hidden_layers)])
+        hidden, _ = jax.lax.scan(scan_layer, hidden, stacked)
+        hidden = rms_norm(hidden, params["model"]["norm"]["weight"],
+                          cfg.rms_norm_eps)
+        if logits_to_keep:
+            hidden = hidden[:, -logits_to_keep:, :]
+        if compute_logits:
+            return lm_head(params, cfg, hidden), kv_cache
+        return hidden, kv_cache
+
     for idx in range(cfg.num_hidden_layers):
         lp = params["model"]["layers"][str(idx)]
 

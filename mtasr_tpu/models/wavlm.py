@@ -270,6 +270,59 @@ def wavlm_encoder(p: dict, cfg: WavLMConfig, hidden: jax.Array,
     table = p["layers"]["0"]["attention"]["rel_attn_embed"]["weight"]
     position_bias = jnp.transpose(jnp.take(table, buckets, axis=0), (2, 0, 1))
 
+    def _run_layer(lp, hidden, r_attn, r_ff):
+        if cfg.do_stable_layer_norm:
+            h = layer_norm(lp["layer_norm"], hidden, cfg.layer_norm_eps)
+            h = _wavlm_attention(lp["attention"], cfg, h, position_bias,
+                                 attention_mask)
+            h = dropout(h, cfg.hidden_dropout, r_attn, deterministic)
+            hidden = hidden + h
+            hidden = hidden + _feed_forward(
+                lp["feed_forward"], cfg,
+                layer_norm(lp["final_layer_norm"], hidden, cfg.layer_norm_eps),
+                deterministic, r_ff)
+        else:
+            h = _wavlm_attention(lp["attention"], cfg, hidden, position_bias,
+                                 attention_mask)
+            h = dropout(h, cfg.hidden_dropout, r_attn, deterministic)
+            hidden = hidden + h
+            hidden = layer_norm(lp["layer_norm"], hidden, cfg.layer_norm_eps)
+            hidden = hidden + _feed_forward(lp["feed_forward"], cfg, hidden,
+                                            deterministic, r_ff)
+            hidden = layer_norm(lp["final_layer_norm"], hidden,
+                                cfg.layer_norm_eps)
+        return hidden
+
+    if cfg.scan_layers and cfg.num_hidden_layers > 1:
+        # layer 0 unrolled (owns rel_attn_embed); 1..N-1 scanned
+        r0a = r0f = None
+        if rng is not None:
+            rng, r0a, r0f = jax.random.split(rng, 3)
+        hidden = _run_layer(p["layers"]["0"], hidden, r0a, r0f)
+        rest = [p["layers"][str(i)] for i in range(1, cfg.num_hidden_layers)]
+        n_rest = len(rest)
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *rest)
+        if rng is not None:
+            keys = jax.random.split(rng, 2 * n_rest).reshape(n_rest, 2)
+
+            def scan_body(hidden, inp):
+                lp, ks = inp
+                return _run_layer(lp, hidden, ks[0], ks[1]), None
+            xs = (stacked, keys)
+        else:
+            def scan_body(hidden, lp):
+                return _run_layer(lp, hidden, None, None), None
+            xs = stacked
+
+        if cfg.remat:
+            scan_body = jax.checkpoint(
+                scan_body,
+                policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims)
+        hidden, _ = jax.lax.scan(scan_body, hidden, xs)
+        if cfg.do_stable_layer_norm:
+            hidden = layer_norm(p["layer_norm"], hidden, cfg.layer_norm_eps)
+        return hidden
+
     for i in range(cfg.num_hidden_layers):
         lp = p["layers"][str(i)]
         r_attn = r_ff = None
