@@ -1,0 +1,39 @@
+"""run_pipeline stage 6: multi-shard decode + merge through the stage
+machine (the reference's torch.distributed inference stage)."""
+import os
+
+import numpy as np
+
+from mtasr_tpu.data.audio import write_wav
+
+
+def test_pipeline_stage6_sharded(tmp_path):
+    d = tmp_path / "data"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    texts = ["hi there<sc>good day", "one two<sc>three four",
+             "cat sat<sc>dog ran", "go now<sc>stay here"]
+    with open(d / "wav.scp", "w") as fw, open(d / "text", "w") as ft:
+        for i, t in enumerate(texts):
+            p = str(d / f"u{i}.wav")
+            write_wav(p, rng.standard_normal(8000) * 0.1)
+            fw.write(f"u{i} {p}\n")
+            ft.write(f"u{i} {t}\n")
+
+    from mtasr_tpu.cli.run_pipeline import main as pipeline_main
+    root = str(tmp_path / "root")
+    pipeline_main(["--stage", "1", "--stop_stage", "3", "--root", root,
+                   "--data_dir", str(d), "--init_random", "tiny",
+                   "--talker_ctc", "--train_mode", "hybrid",
+                   "--max_steps", "2", "--per_device_train_batch_size", "2",
+                   "--max_length", "6"])
+    pipeline_main(["--stage", "6", "--stop_stage", "6", "--root", root,
+                   "--data_dir", str(d), "--init_random", "tiny",
+                   "--talker_ctc", "--train_mode", "hybrid",
+                   "--num_shards", "2", "--max_length", "6"])
+    exp = os.path.join(root, "exp")
+    run_name = os.listdir(exp)[0]
+    dec = os.path.join(exp, run_name, "decode_stage6")
+    merged = open(os.path.join(dec, "decod")).read().splitlines()
+    assert len(merged) == 4
+    assert "Overall ->" in open(os.path.join(dec, "wer")).read()
