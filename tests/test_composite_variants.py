@@ -141,3 +141,30 @@ def test_three_talkers_with_pit():
                 label_spk_lens=jnp.asarray(arr["label_spk_lens"]))
             assert float(out.aux["loss_ctc"]) <= \
                 float(out_fixed.aux["loss_ctc"]) + 1e-4
+
+
+@pytest.mark.parametrize("bridge", ["raw", "ctcprompt"])
+def test_ctc_bridge_types(bridge):
+    cfg = tiny_cfg(train_mode="hybrid", talker_ctc=True, ctc_bridge=True,
+                   ctc_bridge_type=bridge)
+    params = init_model_params(jax.random.key(7), cfg)
+    out, (wav, amask, arr) = _forward(cfg, params, seed=13)
+    assert np.isfinite(float(out.loss))
+    S = wav.shape[1]
+    T0 = cfg.encoder.conv_output_length(S)
+    T8 = cfg.encoder.adapter_output_length(T0)
+    L = arr["decoder_input_ids"].shape[1]
+    if bridge == "raw":
+        # concat separated 50Hz streams -> encoder adapter (8x) -> memory
+        K = cfg.talker_numbers
+        T_mem = cfg.encoder.adapter_output_length(K * T0)
+        assert out.logits.shape[1] == T_mem + L
+    else:
+        # collapsed CTC prefix (64/head default cap) prepended to speech
+        assert out.logits.shape[1] == 2 * 64 + T8 + L
+
+    # generation works through the bridge
+    from mtasr_tpu.generate import generate
+    g = generate(params, cfg, jnp.asarray(wav), jnp.asarray(amask),
+                 max_new_tokens=4)
+    assert np.asarray(g.sequences).shape == (wav.shape[0], 4)
