@@ -214,3 +214,42 @@ def test_multichip_train_step_on_mesh():
     step1 = make_train_step(cfg, tc, opt, trainable_mask=mask, donate=False)
     _, _, m1 = step1(params, opt.init(params), batch, jax.random.key(0))
     assert abs(loss_mesh - float(m1["loss"])) < 1e-3
+
+
+def test_pcgrad_only_rewrites_shared_subtree():
+    """PCGrad replaces encoder+separator grads with the projected CTC sum
+    (reference overwrite, trainer_seq2seq.py:1140-1144) but must leave the
+    decoder/ctc-head updates identical to the plain backward."""
+    cfg = tiny_cfg(train_mode="hybrid", talker_ctc=True)
+    params = init_model_params(jax.random.key(5), cfg)
+    wav, amask, arr = make_batch(cfg, seed=4)
+    batch = {"input_values": jnp.asarray(wav), "audio_mask": jnp.asarray(amask),
+             "decoder_input_ids": jnp.asarray(arr["decoder_input_ids"]),
+             "ce_labels": jnp.asarray(arr["ce_labels"]),
+             "label_spks": jnp.asarray(arr["label_spks"]),
+             "label_spk_lens": jnp.asarray(arr["label_spk_lens"])}
+    mask = trainable_mask(params, train_mode="hybrid", train_all=True)
+    results = {}
+    for pc in (True, False):
+        # huge max_grad_norm: global-norm clipping would couple the subtrees
+        # (the clip scale depends on the rewritten shared grads — faithful
+        # to the reference, which clips after the overwrite)
+        tc = TrainingConfig(pcgrad=pc, learning_rate=1e-3, warmup_steps=1,
+                            max_steps=10, max_grad_norm=1e9)
+        opt = make_optimizer(tc, mask)
+        step = make_train_step(cfg, tc, opt, trainable_mask=mask,
+                               donate=False)
+        p2, _, _ = step(params, opt.init(params), batch, jax.random.key(0))
+        results[pc] = p2
+    # decoder + ctc heads: identical updates
+    for key in ("decoder", "serialized_ctc"):
+        for a, b in zip(jax.tree_util.tree_leaves(results[True][key]),
+                        jax.tree_util.tree_leaves(results[False][key])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+    # encoder + separator: different updates (CE grad dropped, CTC projected)
+    for key in ("encoder", "separator"):
+        diff = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(
+            jax.tree_util.tree_leaves(results[True][key]),
+            jax.tree_util.tree_leaves(results[False][key])))
+        assert diff > 0, key
