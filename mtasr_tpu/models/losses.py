@@ -45,6 +45,16 @@ def build_perm(n: int, mode: Optional[str], step: int = 0,
     raise ValueError(f"Unknown perm_mode: {mode}")
 
 
+def batch_swap_stats(best_perm: jax.Array):
+    """PIT diagnostics (losses.py:29-41): how many samples chose a
+    non-identity assignment. best_perm: [B, N] -> (count, total, ratio)."""
+    B, N = best_perm.shape
+    ident = jnp.arange(N)[None, :]
+    swapped = ~jnp.all(best_perm == ident, axis=1)
+    cnt = jnp.sum(swapped)
+    return cnt, B, cnt / jnp.maximum(B, 1)
+
+
 def cross_entropy_loss(logits: jax.Array, labels: jax.Array,
                        ignore_id: int = -100) -> jax.Array:
     """Mean CE over non-ignored positions, computed in float32."""
@@ -142,6 +152,7 @@ def hybrid_loss(
                 ctc_params, sep_hidden, hlens, label_spks, label_spk_lens,
                 blank_id)
             aux["best_perm"] = best_perm
+            _, _, aux["pit_swap_ratio"] = batch_swap_stats(best_perm)
         else:
             loss_ctc, per_head = serialized_ctc_loss(
                 ctc_params, sep_hidden, hlens, label_spks, label_spk_lens,

@@ -152,7 +152,8 @@ class Trainer:
                                         self.state.step + 1)
                 samples += batch.arrays["input_values"].shape[0]
                 if self.state.step % self.tc.logging_steps == 0:
-                    m = {k: float(v) for k, v in metrics.items()}
+                    m = {k: (np.asarray(v).tolist() if np.ndim(v) else float(v))
+                         for k, v in metrics.items()}
                     dt = time.perf_counter() - t_start
                     m.update(step=self.state.step, epoch=epoch,
                              samples_per_second=round(samples / dt, 2),

@@ -140,6 +140,11 @@ def make_train_step(
                 head_grads.append(g_i)
             g_shared_proj = pcgrad_project(head_grads)
             grads = {**g_shared_proj, **g_rest}
+            # per-head grad-norm diagnostics on the shared params (the
+            # reference's per_head_grad_stats, trainer_seq2seq.py:228-372)
+            aux = dict(aux)
+            aux["ctc_head_grad_norms"] = jnp.stack(
+                [optax.global_norm(g) for g in head_grads])
 
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -148,7 +153,8 @@ def make_train_step(
             _mask_tree(grads, trainable_mask) if trainable_mask is not None
             else grads)
         metrics = {"loss": loss, "grad_norm": gnorm}
-        for k in ("loss_attn", "loss_ctc"):
+        for k in ("loss_attn", "loss_ctc", "ctc_head_grad_norms",
+                  "pit_swap_ratio"):
             if k in aux:
                 metrics[k] = aux[k]
         return params, opt_state, metrics

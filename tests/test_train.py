@@ -253,3 +253,12 @@ def test_pcgrad_only_rewrites_shared_subtree():
             jax.tree_util.tree_leaves(results[True][key]),
             jax.tree_util.tree_leaves(results[False][key])))
         assert diff > 0, key
+
+
+def test_pcgrad_per_head_grad_norm_metrics():
+    cfg, tc, params, mask, opt, batch = _setup(mode="hybrid", pcgrad=True)
+    step = make_train_step(cfg, tc, opt, trainable_mask=mask, donate=False)
+    _, _, metrics = step(params, opt.init(params), batch, jax.random.key(0))
+    norms = np.asarray(metrics["ctc_head_grad_norms"])
+    assert norms.shape == (cfg.talker_numbers,)
+    assert np.all(norms > 0)
