@@ -42,6 +42,9 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     g.add_argument("--apply_spec_augment", action="store_true")
     g.add_argument("--use_lora", action="store_true",
                    help="insert decoder LoRA adapters (PEFT-equivalent)")
+    g.add_argument("--lora_dropout", type=float, default=0.1,
+                   help="LoRA-branch input dropout "
+                        "(insert_adapter_decoder.py:59)")
     g.add_argument("--attention_impl", type=str, default="xla",
                    choices=["xla", "flash"],
                    help="encoder attention backend (flash = Pallas kernel)")
@@ -60,6 +63,14 @@ def add_data_args(p: argparse.ArgumentParser) -> None:
                    default=True)
     g.add_argument("--max_train_samples", type=int, default=None)
     g.add_argument("--max_eval_samples", type=int, default=None)
+    g.add_argument("--preprocessing_num_workers", type=int, default=1,
+                   help="parallel preprocessing workers (run.sh:205)")
+    g.add_argument("--eager_audio", action="store_true",
+                   help="materialize all waveforms in RAM up front instead "
+                        "of streaming them at collate time")
+    g.add_argument("--preprocessing_cache", type=str, default=None,
+                   help="JSONL cache of tokenized/duration-probed examples "
+                        "(the datasets.map arrow-cache equivalent)")
     g.add_argument("--prompt", type=str,
                    default="Transcribe the speech to text")
 

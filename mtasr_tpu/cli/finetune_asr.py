@@ -81,6 +81,7 @@ def main(argv=None):
         from mtasr_tpu.train.lora import init_decoder_lora
         params["decoder_lora"] = init_decoder_lora(
             jax.random.key(0), params["decoder"], r=16, alpha=32.0)
+        cfg.lora_dropout = args.lora_dropout
 
     if args.tokenizer_name:
         tokenizer = HFTokenizer(args.tokenizer_name)
@@ -126,11 +127,17 @@ def main(argv=None):
     if args.max_eval_samples:
         eval_utts = eval_utts[: args.max_eval_samples]
 
-    train_ex = [e for e in (prepare_example(u, tokenizer, dc, cfg.instruct)
-                            for u in train_utts) if e is not None]
-    eval_ex = [e for e in (prepare_example(u, tokenizer, dc, cfg.instruct)
-                           for u in eval_utts) if e is not None]
-    logger.info("examples: train=%d eval=%d", len(train_ex), len(eval_ex))
+    from mtasr_tpu.data.pipeline import prepare_examples
+    lazy = not args.eager_audio
+    train_ex = prepare_examples(
+        train_utts, tokenizer, dc, cfg.instruct, lazy=lazy,
+        num_proc=args.preprocessing_num_workers,
+        cache_path=args.preprocessing_cache)
+    eval_ex = prepare_examples(
+        eval_utts, tokenizer, dc, cfg.instruct, lazy=lazy,
+        num_proc=args.preprocessing_num_workers)
+    logger.info("examples: train=%d eval=%d (lazy=%s)", len(train_ex),
+                len(eval_ex), lazy)
 
     freeze_kwargs = dict(
         freeze_feature_encoder=args.freeze_feature_encoder,
@@ -140,9 +147,26 @@ def main(argv=None):
         partial_decoder_unfreeze=csv(args.partial_decoder_unfreeze),
         partial_others_unfreeze=csv(args.partial_others_unfreeze))
 
+    # mesh-parallel training (the reference's torch.distributed.launch DDP,
+    # run.sh:193-194, plus real TP): dp x tp over all visible devices
+    from mtasr_tpu.parallel import multihost
+    from mtasr_tpu.parallel.mesh import make_mesh
+    multihost.initialize()
+    tp = max(1, args.tp_size)
+    dp = args.dp_size if args.dp_size > 0 else jax.device_count() // tp
+    dp = max(1, dp)
+    mesh = make_mesh(dp_size=dp, tp_size=tp) if dp * tp > 1 else None
+    tc.dp_size, tc.tp_size = dp, tp
+    global_batch = tc.per_device_train_batch_size * dp
+
+    steps_per_epoch = max(1, (len(train_ex) + global_batch - 1) // global_batch)
+    total_steps = (tc.max_steps if tc.max_steps > 0
+                   else int(steps_per_epoch * tc.num_train_epochs))
+
     trainer = Trainer(cfg, tc, dc, params, tokenizer=tokenizer,
                       freeze_kwargs=freeze_kwargs,
-                      gen_cfg=GenerationConfig(max_length=args.max_length))
+                      gen_cfg=GenerationConfig(max_length=args.max_length),
+                      mesh=mesh, total_steps=total_steps)
     trainer.maybe_resume()
 
     eval_refs = {u.utt_id: (u.text.lower() if dc.do_lower_case else u.text)
@@ -150,13 +174,13 @@ def main(argv=None):
 
     def train_iter():
         return batches_from_examples(
-            train_ex, cfg, dc, tc.per_device_train_batch_size, training=True,
+            train_ex, cfg, dc, global_batch, training=True,
             seed=tc.seed + trainer.state.step)
 
     def eval_iter():
         return batches_from_examples(
-            eval_ex, cfg, dc, args.per_device_eval_batch_size, training=False,
-            shuffle=False, drop_last=False)
+            eval_ex, cfg, dc, args.per_device_eval_batch_size * dp,
+            training=False, shuffle=False, drop_last=False)
 
     trainer.train(train_iter, eval_iter if eval_ex else None, eval_refs)
 

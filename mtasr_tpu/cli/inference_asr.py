@@ -41,6 +41,10 @@ def build_argparser():
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--shard_index", type=int, default=0)
     p.add_argument("--num_shards", type=int, default=1)
+    p.add_argument("--dp_size", type=int, default=-1,
+                   help="data-parallel mesh axis (-1: all devices / tp)")
+    p.add_argument("--tp_size", type=int, default=1,
+                   help="tensor-parallel mesh axis (8B needs >1 per chip)")
     p.add_argument("--merge", action="store_true",
                    help="merge per-shard decod files and score")
     p.add_argument("--char_mode", action="store_true")
@@ -86,6 +90,20 @@ def main(argv=None):
     cfg, params = load_model(args.model_name_or_path)
     if args.instruct:
         cfg.instruct = True
+
+    # device mesh (reference inference_asr_gpus.py shards at the *process*
+    # level over NCCL; here one process drives a dp x tp mesh, and
+    # --shard_index/--num_shards still splits work across hosts)
+    import jax
+    from mtasr_tpu.parallel import multihost
+    from mtasr_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+    multihost.initialize()
+    tp = max(1, args.tp_size)
+    dp = args.dp_size if args.dp_size > 0 else max(1, jax.device_count() // tp)
+    mesh = make_mesh(dp_size=dp, tp_size=tp) if dp * tp > 1 else None
+    if mesh is not None:
+        params = shard_params(params, mesh)
+        logger.info("sharded params over mesh %s", dict(mesh.shape))
     if args.tokenizer_name:
         tokenizer = HFTokenizer(args.tokenizer_name)
     else:
@@ -103,8 +121,10 @@ def main(argv=None):
     utts = load_kaldi_dir(args.data_dir, prompt=args.prompt)
     if args.max_eval_samples:
         utts = utts[: args.max_eval_samples]
-    examples = [e for e in (prepare_example(u, tokenizer, dc, cfg.instruct)
-                            for u in utts) if e is not None]
+    from mtasr_tpu.data.pipeline import prepare_examples
+    examples = prepare_examples(
+        utts, tokenizer, dc, cfg.instruct, lazy=not args.eager_audio,
+        num_proc=args.preprocessing_num_workers)
     refs = {u.utt_id: (u.text.lower() if dc.do_lower_case else u.text)
             for u in utts}
 
@@ -124,6 +144,10 @@ def main(argv=None):
             shard_index=args.shard_index, num_shards=args.num_shards):
         wav = jnp.asarray(batch.arrays["input_values"])
         amask = jnp.asarray(batch.arrays["audio_mask"])
+        if mesh is not None:
+            sharded = shard_batch({"input_values": wav, "audio_mask": amask},
+                                  mesh)
+            wav, amask = sharded["input_values"], sharded["audio_mask"]
         if args.ctc_decoding:
             trans, _ = generate_ctc(params, cfg, wav, amask,
                                     max_out_len=args.max_length)

@@ -217,6 +217,9 @@ class SpeechEncoderDecoderConfig:
     talker_ctc_refine: bool = False
     talker_numbers: int = 2
     separator_hidden: int = 896
+    # per-time-step dropout inside the separator LSTM (reference
+    # separator.py:86, dropout=0.2)
+    separator_dropout: float = 0.2
     ctc_bridge: bool = False
     ctc_bridge_type: str = "raw"       # raw | softmax | ctcprompt
     train_mode: str = "attention"      # ctc | attention | hybrid
@@ -234,12 +237,71 @@ class SpeechEncoderDecoderConfig:
     r_max: int = 16
     lora_alpha: int = 16
 
+    # --- decoder LoRA (PEFT-equivalent; insert_adapter_decoder.py:56-60) ---
+    # rank/alpha are fixed at insertion time (init_decoder_lora); the dropout
+    # rate applies to the LoRA-branch input during training only
+    lora_dropout: float = 0.1
+
     # --- generation ---
     max_length: int = 200
 
     # --- static-shape bucketing (TPU addition; no reference equivalent) ---
     # max audio samples / speech frames per bucket are decided by the data
     # pipeline; the model itself is shape-polymorphic under jit.
+
+    def validate(self) -> None:
+        """Reject invalid switch combinations up front with a clear error.
+
+        The reference wires these switches at module construction
+        (modeling...llama.py:204-289), so a bad combination there surfaces
+        as an unintelligible None-crash deep in forward; here we check at
+        model init (init_model_params / load_model call this)."""
+        err = []
+        if self.train_mode not in ("ctc", "attention", "hybrid"):
+            err.append(f"train_mode={self.train_mode!r} not in ctc/attention/hybrid")
+        if self.ctc_bridge_type not in ("raw", "softmax", "ctcprompt"):
+            err.append(f"ctc_bridge_type={self.ctc_bridge_type!r} invalid")
+        if self.decoder_cross_attention_type not in (
+                "tiny", "gatetiny", "ctcaware", "adapgatetiny"):
+            err.append(f"decoder_cross_attention_type="
+                       f"{self.decoder_cross_attention_type!r} invalid")
+        if self.decoder_cross_attention_feature not in (
+                "raw", "mix", "sep", "ctctoken"):
+            err.append(f"decoder_cross_attention_feature="
+                       f"{self.decoder_cross_attention_feature!r} invalid")
+        needs_ctc = []
+        if self.train_mode in ("ctc", "hybrid"):
+            needs_ctc.append(f"train_mode={self.train_mode}")
+        if self.ctc_bridge:
+            needs_ctc.append("ctc_bridge")
+        if self.talker_ctc_refine:
+            needs_ctc.append("talker_ctc_refine")
+        if (self.decoder_cross_attention
+                and self.decoder_cross_attention_feature in ("sep", "ctctoken")):
+            needs_ctc.append("decoder_cross_attention_feature="
+                             + self.decoder_cross_attention_feature)
+        if (self.decoder_cross_attention
+                and self.decoder_cross_attention_type == "ctcaware"):
+            needs_ctc.append("decoder_cross_attention_type=ctcaware")
+        if needs_ctc and not self.talker_ctc:
+            err.append(f"{', '.join(needs_ctc)} require(s) talker_ctc=True "
+                       "(separator + serialized CTC heads)")
+        if self.talker_ctc and self.talker_numbers < 2:
+            err.append("talker_numbers must be >= 2 with talker_ctc "
+                       "(reference separator.py:94)")
+        if self.instruct:
+            specials = (self.bosp_token_id, self.eosp_token_id,
+                        self.boss_token_id, self.eoss_token_id,
+                        self.bosr_token_id, self.eosr_token_id)
+            if any(s is None or s < 0 for s in specials):
+                err.append("instruct=True requires all six instruct special "
+                           "token ids (create_from_pretrained wires them)")
+            if max(specials) >= self.decoder.vocab_size:
+                err.append(f"instruct special id {max(specials)} >= decoder "
+                           f"vocab {self.decoder.vocab_size}; resize vocab")
+        if err:
+            raise ValueError("invalid SpeechEncoderDecoderConfig:\n  - "
+                             + "\n  - ".join(err))
 
     @property
     def ctc_blank_id(self) -> int:
@@ -290,6 +352,11 @@ class TrainingConfig:
     seed: int = 42
     bf16: bool = True
     gradient_checkpointing: bool = False
+    # best-model retention (run.sh:202-204: metric_for_best_model=eval_loss,
+    # greater_is_better=false, load_best_model_at_end)
+    metric_for_best_model: str = "eval_loss"
+    greater_is_better: bool = False
+    load_best_model_at_end: bool = True
     # PCGrad on shared encoder+separator params (trainer_seq2seq.py:1071-1141)
     pcgrad: bool = True
     # mesh

@@ -35,17 +35,52 @@ from mtasr_tpu.data.tokenizer import build_prompt_and_input
 @dataclass
 class PreparedExample:
     utt_id: str
-    input_values: np.ndarray      # normalized waveform
+    input_values: Optional[np.ndarray]  # normalized waveform; None = lazy
     labels: List[int]             # tokenized target (no BOS, no EOS)
     prompt_ids: List[int]         # instruct prompt ids (no BOS), may be []
     n_samples: int
+    wav_path: Optional[str] = None  # set when lazy
+
+    def waveform(self, dc: DataConfig) -> np.ndarray:
+        """Materialize the normalized waveform (lazy examples load from
+        disk here, at collate time — memory stays bounded by the batch)."""
+        if self.input_values is not None:
+            return self.input_values
+        wav_data, sr = read_wav(self.wav_path)
+        wav_data = resample(wav_data, sr, dc.sampling_rate)
+        return normalize_waveform(wav_data)
+
+
+def _wav_duration_samples(path: str, target_sr: int) -> int:
+    """Sample count at target_sr from the WAV header only (no data read)."""
+    import wave
+    with wave.open(path, "rb") as w:
+        n, sr = w.getnframes(), w.getframerate()
+    if sr == target_sr:
+        return n
+    # matches scipy resample_poly output length: ceil(n * up / down)
+    from math import gcd
+    g = gcd(sr, target_sr)
+    up, down = target_sr // g, sr // g
+    return -(-n * up // down)
 
 
 def prepare_example(utt: Utterance, tokenizer, dc: DataConfig,
-                    instruct: bool = False) -> Optional[PreparedExample]:
-    wav_data, sr = read_wav(utt.wav_path)
-    wav_data = resample(wav_data, sr, dc.sampling_rate)
-    n = len(wav_data)
+                    instruct: bool = False,
+                    lazy: bool = False) -> Optional[PreparedExample]:
+    """lazy=True reads only the WAV header (duration filter + bucketing
+    need the length); samples load at collate time. This replaces the
+    reference's eager datasets.map materialization
+    (utils/vectorized_dataset_utils.py:26-124) with a design whose resident
+    memory is O(batch), not O(dataset) — required at LibriMix scale."""
+    if lazy:
+        n = _wav_duration_samples(utt.wav_path, dc.sampling_rate)
+        wav_norm = None
+    else:
+        wav_data, sr = read_wav(utt.wav_path)
+        wav_data = resample(wav_data, sr, dc.sampling_rate)
+        n = len(wav_data)
+        wav_norm = normalize_waveform(wav_data)
     if not (dc.min_duration_in_seconds * dc.sampling_rate < n
             < dc.max_duration_in_seconds * dc.sampling_rate):
         return None
@@ -58,8 +93,63 @@ def prepare_example(utt: Utterance, tokenizer, dc: DataConfig,
     else:
         labels = tokenizer.encode(text, add_bos=False)
         prompt_ids = []
-    return PreparedExample(utt.utt_id, normalize_waveform(wav_data), labels,
-                           prompt_ids, n)
+    return PreparedExample(utt.utt_id, wav_norm, labels, prompt_ids, n,
+                           wav_path=utt.wav_path if lazy else None)
+
+
+# module-level worker so multiprocessing can pickle it
+_PREP_CTX: dict = {}
+
+
+def _prep_worker(utt):
+    return prepare_example(utt, _PREP_CTX["tokenizer"], _PREP_CTX["dc"],
+                           _PREP_CTX["instruct"], lazy=_PREP_CTX["lazy"])
+
+
+def prepare_examples(
+    utts: Sequence[Utterance], tokenizer, dc: DataConfig,
+    instruct: bool = False, *, lazy: bool = True, num_proc: int = 1,
+    cache_path: Optional[str] = None,
+) -> List[PreparedExample]:
+    """Batch preprocessing with optional worker pool and on-disk cache —
+    the reference's datasets.map(num_proc=...) + arrow cache pattern
+    (finetune_asr.py:147-154, vectorized_dataset_utils.py:26-124)."""
+    import json
+    import os
+    if cache_path and os.path.exists(cache_path):
+        out = []
+        with open(cache_path) as f:
+            for line in f:
+                d = json.loads(line)
+                out.append(PreparedExample(
+                    d["utt_id"], None, d["labels"], d["prompt_ids"],
+                    d["n_samples"], wav_path=d["wav_path"]))
+        return out
+
+    if num_proc > 1:
+        import multiprocessing as mp
+        ctx = mp.get_context("fork")
+        _PREP_CTX.update(tokenizer=tokenizer, dc=dc, instruct=instruct,
+                         lazy=lazy)
+        with ctx.Pool(num_proc) as pool:
+            prepared = pool.map(_prep_worker, list(utts), chunksize=64)
+        _PREP_CTX.clear()
+    else:
+        prepared = [prepare_example(u, tokenizer, dc, instruct, lazy=lazy)
+                    for u in utts]
+    out = [e for e in prepared if e is not None]
+
+    if cache_path and lazy:
+        tmp = cache_path + ".tmp"
+        with open(tmp, "w") as f:
+            for e in out:
+                f.write(json.dumps({
+                    "utt_id": e.utt_id, "labels": list(map(int, e.labels)),
+                    "prompt_ids": list(map(int, e.prompt_ids)),
+                    "n_samples": int(e.n_samples),
+                    "wav_path": e.wav_path}) + "\n")
+        os.replace(tmp, cache_path)
+    return out
 
 
 def bucket_length(n_samples: int, dc: DataConfig) -> int:
@@ -88,8 +178,9 @@ def collate(examples: Sequence[PreparedExample],
     wav_batch = np.zeros((B, S), np.float32)
     amask = np.zeros((B, S), np.int32)
     for i, e in enumerate(examples):
-        ln = min(e.n_samples, S)
-        wav_batch[i, :ln] = e.input_values[:ln]
+        w = e.waveform(dc)            # lazy examples load from disk here
+        ln = min(len(w), S)
+        wav_batch[i, :ln] = w[:ln]
         amask[i, :ln] = 1
 
     L = label_pad_to or max(len(e.labels) for e in examples)

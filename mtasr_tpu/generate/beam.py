@@ -178,6 +178,9 @@ def beam_generate(params, cfg: SpeechEncoderDecoderConfig,
                   length_penalty: float = 1.0) -> BeamOutput:
     from mtasr_tpu.generate.engine import _encode_jit
     B = input_values.shape[0]
+    if "decoder_lora" in params:
+        from mtasr_tpu.train.lora import merge_decoder_lora
+        params = merge_decoder_lora(params)
     enc = _encode_jit(params, cfg, input_values, audio_mask)
     bos = jnp.full((B, 1), cfg.decoder_start_token_id, jnp.int32)
     if cfg.instruct:

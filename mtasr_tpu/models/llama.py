@@ -113,14 +113,34 @@ def embed_tokens(params: dict, cfg: LlamaConfig, input_ids: jax.Array,
 
 
 def lm_head(params: dict, cfg: LlamaConfig, hidden: jax.Array) -> jax.Array:
-    if "lm_head" in params and "weight_q8" in params["lm_head"]:
-        p = params["lm_head"]
-        w = p["weight_q8"].astype(hidden.dtype) \
-            * p["scale"].astype(hidden.dtype)[:, None]
-    else:
-        w = (params["lm_head"]["weight"] if "lm_head" in params
-             else params["model"]["embed_tokens"]["weight"]).astype(hidden.dtype)
+    if "lm_head" in params and ("weight_q8" in params["lm_head"]
+                                or "weight_q8a8" in params["lm_head"]):
+        return linear(params["lm_head"], hidden)
+    w = (params["lm_head"]["weight"] if "lm_head" in params
+         else params["model"]["embed_tokens"]["weight"]).astype(hidden.dtype)
     return jnp.einsum("...h,vh->...v", hidden, w)
+
+
+def _lora_linear(p_entry: dict, x: jax.Array, ab: Optional[dict],
+                 scale, rng: Optional[jax.Array],
+                 dropout: float) -> jax.Array:
+    """linear() plus a PEFT-style LoRA branch: y += scale * B(A(drop(x))).
+
+    Matches the reference's PEFT insertion semantics (dropout on the LoRA
+    branch input only, never the base path —
+    /root/reference/src/insert_adapter_decoder.py:56-60, lora_dropout=0.1).
+    The low-rank branch runs in f32 (r is tiny, cost negligible) so LoRA
+    training is precision-safe under bf16 base weights."""
+    y = linear(p_entry, x)
+    if ab is None:
+        return y
+    xl = x.astype(jnp.float32)
+    if rng is not None and dropout > 0.0:
+        keep = jax.random.bernoulli(rng, 1.0 - dropout, x.shape)
+        xl = jnp.where(keep, xl / (1.0 - dropout), 0.0)
+    delta = (xl @ ab["lora_A"].astype(jnp.float32).T) \
+        @ ab["lora_B"].astype(jnp.float32).T
+    return y + (delta * scale).astype(y.dtype)
 
 
 def _attention(p: dict, cfg: LlamaConfig, x: jax.Array,
@@ -128,12 +148,23 @@ def _attention(p: dict, cfg: LlamaConfig, x: jax.Array,
                mask: Optional[jax.Array],
                layer_idx: int,
                kv_cache: Optional[KVCache],
-               cache_offset) -> Tuple[jax.Array, Optional[KVCache]]:
+               cache_offset,
+               lora_layer: Optional[dict] = None,
+               lora_scale=None,
+               lora_rng: Optional[jax.Array] = None,
+               lora_dropout: float = 0.0) -> Tuple[jax.Array, Optional[KVCache]]:
     B, L, H = x.shape
     D = cfg.head_dim_
-    q = linear(p["q_proj"], x).reshape(B, L, cfg.num_attention_heads, D)
-    k = linear(p["k_proj"], x).reshape(B, L, cfg.num_key_value_heads, D)
-    v = linear(p["v_proj"], x).reshape(B, L, cfg.num_key_value_heads, D)
+
+    def proj(name, width):
+        ab = lora_layer.get(name) if lora_layer is not None else None
+        rng = (jax.random.fold_in(lora_rng, hash(name) % 997)
+               if (lora_rng is not None and ab is not None) else None)
+        return _lora_linear(p[name], x, ab, lora_scale, rng, lora_dropout)
+
+    q = proj("q_proj", None).reshape(B, L, cfg.num_attention_heads, D)
+    k = proj("k_proj", None).reshape(B, L, cfg.num_key_value_heads, D)
+    v = proj("v_proj", None).reshape(B, L, cfg.num_key_value_heads, D)
     q, k = apply_rotary_emb(q, k, cos, sin)
 
     if kv_cache is not None:
@@ -151,7 +182,11 @@ def _attention(p: dict, cfg: LlamaConfig, x: jax.Array,
 
     out = dot_product_attention(q, k_use, v_use, mask=mask,
                                 scale=D ** -0.5)
-    out = linear(p["o_proj"], out.reshape(B, L, -1))
+    out = out.reshape(B, L, -1)
+    ab_o = lora_layer.get("o_proj") if lora_layer is not None else None
+    rng_o = (jax.random.fold_in(lora_rng, hash("o_proj") % 997)
+             if (lora_rng is not None and ab_o is not None) else None)
+    out = _lora_linear(p["o_proj"], out, ab_o, lora_scale, rng_o, lora_dropout)
     return out, kv_cache
 
 
@@ -172,6 +207,9 @@ def llama_forward(
     layer_callback: Optional[Callable[[int, jax.Array], jax.Array]] = None,
     compute_logits: bool = True,
     logits_to_keep: int = 0,
+    lora: Optional[dict] = None,          # params['decoder_lora'] subtree
+    lora_rng: Optional[jax.Array] = None,  # None => no LoRA dropout
+    lora_dropout: float = 0.0,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Returns (logits [B, L(or logits_to_keep), V] or hidden, new kv_cache).
 
@@ -203,7 +241,14 @@ def llama_forward(
 
     hidden = inputs_embeds
 
-    if cfg.scan_layers and kv_cache is None and layer_callback is None:
+    lora_scale = None
+    if lora is not None:
+        meta = lora["__meta__"]
+        lora_scale = (meta["alpha"].astype(jnp.float32)
+                      / jnp.maximum(meta["r"].astype(jnp.float32), 1.0))
+
+    if (cfg.scan_layers and kv_cache is None and layer_callback is None
+            and lora is None):
         def scan_layer(hidden, lp):
             residual = hidden
             h = rms_norm(hidden, lp["input_layernorm"]["weight"],
@@ -235,13 +280,18 @@ def llama_forward(
 
     for idx in range(cfg.num_hidden_layers):
         lp = params["model"]["layers"][str(idx)]
+        ll = lora.get(str(idx)) if lora is not None else None
+        lrng = (jax.random.fold_in(lora_rng, idx)
+                if (lora_rng is not None and ll is not None) else None)
 
-        def layer_fn(lp, hidden, kv_cache, idx=idx):
+        def layer_fn(lp, ll, hidden, kv_cache, idx=idx, lrng=lrng):
             residual = hidden
             h = rms_norm(hidden, lp["input_layernorm"]["weight"],
                          cfg.rms_norm_eps)
             h, kv_cache = _attention(lp["self_attn"], cfg, h, cos, sin, mask,
-                                     idx, kv_cache, cache_offset)
+                                     idx, kv_cache, cache_offset,
+                                     lora_layer=ll, lora_scale=lora_scale,
+                                     lora_rng=lrng, lora_dropout=lora_dropout)
             hidden = residual + h
             if layer_callback is not None:
                 hidden = layer_callback(idx, hidden)
@@ -256,7 +306,7 @@ def llama_forward(
             layer_fn = jax.checkpoint(
                 layer_fn,
                 policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims)
-        hidden, kv_cache = layer_fn(lp, hidden, kv_cache)
+        hidden, kv_cache = layer_fn(lp, ll, hidden, kv_cache)
 
     hidden = rms_norm(hidden, params["model"]["norm"]["weight"], cfg.rms_norm_eps)
     if logits_to_keep:

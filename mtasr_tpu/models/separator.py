@@ -13,6 +13,7 @@ from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mtasr_tpu.models.layers import (
     dropout, layer_norm, layer_norm_init, linear, linear_init,
@@ -22,7 +23,8 @@ from mtasr_tpu.ops.lstm import lstm_scan
 
 def _xavier_linear(key, in_dim, out_dim, dtype):
     wkey, _ = jax.random.split(key)
-    bound = float(jnp.sqrt(6.0 / (in_dim + out_dim)))
+    # host-side constant (np, not jnp): keeps init traceable under jit
+    bound = float(np.sqrt(6.0 / (in_dim + out_dim)))
     return {"weight": jax.random.uniform(wkey, (out_dim, in_dim), dtype,
                                          -bound, bound),
             "bias": jnp.zeros((out_dim,), dtype)}

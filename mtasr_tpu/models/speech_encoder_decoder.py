@@ -86,6 +86,7 @@ jax.tree_util.register_dataclass(ForwardOutput,
 # ---------------------------------------------------------------------------
 def init_model_params(key: jax.Array, cfg: SpeechEncoderDecoderConfig,
                       dtype=jnp.float32) -> dict:
+    cfg.validate()
     # special tokens must live inside the decoder vocab (the reference grows
     # the embedding table at assembly: create_from_pretrained.py:276)
     max_special = max(cfg.pad_token_id, cfg.sc_token_id,
@@ -178,6 +179,7 @@ def encode_speech(
     if cfg.talker_ctc:
         sep_hidden = separator_forward(params["separator"], mixed,
                                        cfg.talker_numbers,
+                                       lstm_dropout=cfg.separator_dropout,
                                        deterministic=deterministic, rng=rng)
         if cfg.talker_ctc_refine:
             sep_hidden = frame_refiner_forward(
@@ -304,9 +306,20 @@ def model_forward(
     total = Ts + L
     position_ids = jnp.broadcast_to(jnp.arange(total)[None, :], (B, total))
 
+    # decoder LoRA rides the forward activation-level (PEFT semantics) so the
+    # adapters actually receive gradients; reference trains them via
+    # model.add_adapter+enable_adapters (finetune_asr.py:127-134)
+    lora = params.get("decoder_lora")
+    lora_rng = None
+    if lora is not None and not deterministic and rng is not None \
+            and cfg.lora_dropout > 0.0:
+        lora_rng = jax.random.fold_in(rng, 0x10A)
+
     logits, _ = llama_forward(
         params["decoder"], cfg.decoder, inputs_embeds, position_ids,
-        layer_callback=_adapter_callback(params, cfg, enc))
+        layer_callback=_adapter_callback(params, cfg, enc),
+        lora=lora, lora_rng=lora_rng,
+        lora_dropout=cfg.lora_dropout if lora is not None else 0.0)
 
     loss = None
     aux: Dict[str, jax.Array] = {}

@@ -14,13 +14,19 @@ note) with a TPU-native kernel:
   from the shared [H, T, S] table and the per-(batch, head, query) gate so
   the [B, H, T, S] gated bias is never materialized in HBM
 
-Backward: custom_vjp that recomputes attention with the XLA reference path
-(exact same math) — flash is primarily for inference/prefill; training
-defaults to the XLA fused path where autodiff memory is managed by remat.
+Backward: FlashAttention-2-style Pallas kernels (recompute probabilities
+blockwise from the saved logsumexp; never materialize [T, S] or the gated
+[B, H, T, S] bias in HBM):
+* kernel A — dq and the per-query bias-gate grad dg   (grid B*Hq, T, S)
+* kernel B — per-q-head dk/dv, GQA group-summed in XLA (grid B*Hq, S, T)
+* kernel C — the shared rel-pos table grad dpb, accumulated over the batch
+  as the innermost sequential grid axis              (grid Hq, T, S, B)
+Set MTASR_FLASH_XLA_BWD=1 to fall back to the XLA-recompute vjp.
 """
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -34,7 +40,7 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(kv_len_ref, q_ref, k_ref, v_ref, pos_bias_ref, gate_ref,
-                  o_ref, m_scr, l_scr, acc_scr, *,
+                  o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
                   scale: float, causal: bool, q_offset: int,
                   block_q: int, block_k: int, n_heads: int,
                   with_bias: bool):
@@ -97,6 +103,12 @@ def _flash_kernel(kv_len_ref, q_ref, k_ref, v_ref, pos_bias_ref, gate_ref,
         denom = l_scr[:, :1]
         denom = jnp.where(denom == 0.0, 1.0, denom)
         o_ref[0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+        # logsumexp saved for the backward recompute; fully-masked rows get
+        # NEG_INF (the backward re-applies the validity mask so exp(s-lse)
+        # is never trusted there)
+        lse = m_scr[:, :1] + jnp.log(jnp.maximum(l_scr[:, :1], 1e-30))
+        lse = jnp.where(l_scr[:, :1] == 0.0, NEG_INF, lse)
+        lse_ref[0] = lse[:, 0]
 
 
 def _flash_forward(q, k, v, kv_lens, pos_bias, gate, scale, causal, q_offset,
@@ -154,23 +166,26 @@ def _flash_forward(q, k, v, kv_lens, pos_bias, gate, scale, causal, q_offset,
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, D),
-                               lambda bh, i, j, kv: (bh, i, 0)),
+        out_specs=[
+            pl.BlockSpec((1, block_q, D), lambda bh, i, j, kv: (bh, i, 0)),
+            pl.BlockSpec((1, block_q), lambda bh, i, j, kv: (bh, i)),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, D), jnp.float32),
         ],
     )
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B * Hq, T, D), q.dtype),
+        out_shape=[jax.ShapeDtypeStruct((B * Hq, T, D), q.dtype),
+                   jax.ShapeDtypeStruct((B * Hq, T), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(kv_lens.astype(jnp.int32), q_f, k_f, v_f, pos_bias, gate_f)
-    return out.reshape(B, Hq, T, D).transpose(0, 2, 1, 3)
+    return out.reshape(B, Hq, T, D).transpose(0, 2, 1, 3), lse
 
 
 def _reference(q, k, v, kv_lens, pos_bias, gate, scale, causal, q_offset):
@@ -191,29 +206,378 @@ def _reference(q, k, v, kv_lens, pos_bias, gate, scale, causal, q_offset):
     return dot_product_attention(q, k, v, bias=bias, mask=mask, scale=scale)
 
 
+# ---------------------------------------------------------------------------
+# backward kernels (FlashAttention-2 recompute style)
+# ---------------------------------------------------------------------------
+def _recompute_p(q, k, lse_blk, kv_len, j, i_abs0, scale, causal,
+                 with_bias, pb, g, block_q, block_k):
+    """Blockwise probability recompute: p = exp(s - lse), masked."""
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    if with_bias:
+        s = s + g[:, None] * pb
+    col = j * block_k + jax.lax.broadcasted_iota(jnp.int32,
+                                                 (block_q, block_k), 1)
+    valid = col < kv_len
+    if causal:
+        row = i_abs0 + jax.lax.broadcasted_iota(jnp.int32,
+                                                (block_q, block_k), 0)
+        valid = valid & (col <= row)
+    p = jnp.exp(s - lse_blk[:, None])
+    return jnp.where(valid, p, 0.0), valid
+
+
+def _bwd_dq_kernel(kv_len_ref, q_ref, k_ref, v_ref, pos_bias_ref, gate_ref,
+                   lse_ref, delta_ref, do_ref,
+                   dq_ref, dg_ref, dq_scr, dg_scr, *,
+                   scale, causal, q_offset, block_q, block_k, n_heads,
+                   with_bias):
+    j = pl.program_id(2)
+    n_j = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+        dg_scr[:] = jnp.zeros_like(dg_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    kv_len = kv_len_ref[pl.program_id(0) // n_heads]
+    row_ok = (j * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_k, 1), 0)) < kv_len
+    k = jnp.where(row_ok, k, 0.0)
+    v = jnp.where(row_ok, v, 0.0)
+    pb = pos_bias_ref[0].astype(jnp.float32) if with_bias else None
+    g = gate_ref[0, 0, :].astype(jnp.float32) if with_bias else None
+
+    i_abs0 = pl.program_id(1) * block_q + q_offset
+    p, valid = _recompute_p(q, k, lse_ref[0], kv_len, j, i_abs0, scale,
+                            causal, with_bias, pb, g, block_q, block_k)
+
+    do = do_ref[0]                                            # [bq, D]
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_ref[0][:, None])                     # [bq, bk]
+    dq_scr[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    if with_bias:
+        # pb columns past the physical S boundary are block padding (NaN in
+        # interpret mode); ds is 0 there but 0*NaN still poisons the row sum
+        dg_scr[:, :1] += jnp.sum(ds * jnp.where(valid, pb, 0.0), axis=-1,
+                                 keepdims=True)
+
+    @pl.when(j == n_j - 1)
+    def _():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+        dg_ref[0, 0] = dg_scr[:, 0].astype(dg_ref.dtype)
+
+
+def _bwd_dkv_kernel(kv_len_ref, q_ref, k_ref, v_ref, pos_bias_ref, gate_ref,
+                    lse_ref, delta_ref, do_ref,
+                    dk_ref, dv_ref, dk_scr, dv_scr, *,
+                    scale, causal, q_offset, block_q, block_k, n_heads,
+                    q_len, with_bias):
+    # grid (B*Hq, S_blocks, T_blocks): T innermost, k/v block resident
+    i = pl.program_id(2)
+    n_i = pl.num_programs(2)
+    j = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    kv_len = kv_len_ref[pl.program_id(0) // n_heads]
+    row_ok = (j * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_k, 1), 0)) < kv_len
+    k = jnp.where(row_ok, k, 0.0)
+    v = jnp.where(row_ok, v, 0.0)
+    pb = pos_bias_ref[0].astype(jnp.float32) if with_bias else None
+    g = gate_ref[0, 0, :].astype(jnp.float32) if with_bias else None
+
+    i_abs0 = i * block_q + q_offset
+    p, _ = _recompute_p(q, k, lse_ref[0], kv_len, j, i_abs0, scale, causal,
+                        with_bias, pb, g, block_q, block_k)
+
+    # ragged T tail: rows beyond q_len hold undefined block padding (their
+    # lse/delta can be inf/NaN) and would otherwise pollute the dk/dv sums.
+    # Zero the padded q/do rows themselves too: 0-weighted NaN inside a dot
+    # still contaminates the contraction.
+    q_ok = (i * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, 1), 0)) < q_len
+    p = jnp.where(q_ok, p, 0.0)
+    q = jnp.where(q_ok, q, 0.0)
+
+    do = jnp.where(q_ok, do_ref[0], 0.0)
+    dv_scr[:] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                   # [bk, D]
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = jnp.where(q_ok, p * (dp - delta_ref[0][:, None]), 0.0)
+    dk_scr[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale           # [bk, D]
+
+    @pl.when(i == n_i - 1)
+    def _():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _bwd_dpb_kernel(kv_len_ref, q_ref, k_ref, v_ref, pos_bias_ref, gate_ref,
+                    lse_ref, delta_ref, do_ref,
+                    dpb_ref, dpb_scr, *,
+                    scale, causal, q_offset, block_q, block_k, n_heads,
+                    n_batch, with_bias):
+    # grid (Hq, T_blocks, S_blocks, B): batch innermost, dpb block resident
+    b = pl.program_id(3)
+    j = pl.program_id(2)
+
+    @pl.when(b == 0)
+    def _():
+        dpb_scr[:] = jnp.zeros_like(dpb_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    kv_len = kv_len_ref[b]
+    row_ok = (j * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_k, 1), 0)) < kv_len
+    k = jnp.where(row_ok, k, 0.0)
+    v = jnp.where(row_ok, v, 0.0)
+    pb = pos_bias_ref[0].astype(jnp.float32)
+    g = gate_ref[0, 0, :].astype(jnp.float32)
+
+    i_abs0 = pl.program_id(1) * block_q + q_offset
+    p, _ = _recompute_p(q, k, lse_ref[0], kv_len, j, i_abs0, scale, causal,
+                        True, pb, g, block_q, block_k)
+    do = do_ref[0]
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_ref[0][:, None])
+    dpb_scr[:] += g[:, None] * ds
+
+    @pl.when(b == n_batch - 1)
+    def _():
+        dpb_ref[0] = dpb_scr[:].astype(dpb_ref.dtype)
+
+
+def _flash_backward(q, k, v, kv_lens, pos_bias, gate, out, lse, g_out,
+                    scale, causal, q_offset, block_q, block_k, interpret):
+    B, T, Hq, D = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    group = Hq // Hkv
+    block_q = min(block_q, T)
+    block_k = min(block_k, S)
+    with_bias = pos_bias is not None
+
+    q_f = q.transpose(0, 2, 1, 3).reshape(B * Hq, T, D)
+    k_f = k.transpose(0, 2, 1, 3).reshape(B * Hkv, S, D)
+    v_f = v.transpose(0, 2, 1, 3).reshape(B * Hkv, S, D)
+    do_f = g_out.transpose(0, 2, 1, 3).reshape(B * Hq, T, D)
+    delta = jnp.sum(g_out.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)                                  # [B, T, Hq]
+    delta_f = delta.transpose(0, 2, 1).reshape(B * Hq, T)
+
+    if kv_lens is None:
+        kv_lens_arr = jnp.full((B,), S, jnp.int32)
+    else:
+        kv_lens_arr = kv_lens.astype(jnp.int32)
+    if with_bias:
+        gate_f = gate.reshape(B * Hq, 1, T)
+        pb_in = pos_bias
+    else:
+        pb_in = jnp.zeros((1, 8, 128), q.dtype)
+        gate_f = jnp.zeros((1, 1, 128), q.dtype)
+
+    kw = dict(scale=scale, causal=causal, q_offset=q_offset,
+              block_q=block_q, block_k=block_k, n_heads=Hq,
+              with_bias=with_bias)
+
+    def q_spec(order):
+        # order='tq' -> grid (bh, i, j); 'sq' -> grid (bh, j, i)
+        if order == "tq":
+            return pl.BlockSpec((1, block_q, D),
+                                lambda bh, i, j, kv: (bh, i, 0))
+        return pl.BlockSpec((1, block_q, D),
+                            lambda bh, j, i, kv: (bh, i, 0))
+
+    def kv_spec(order):
+        def to_kv(bh):
+            return bh // Hq * Hkv + (bh % Hq) // group
+        if order == "tq":
+            return pl.BlockSpec((1, block_k, D),
+                                lambda bh, i, j, kv: (to_kv(bh), j, 0))
+        return pl.BlockSpec((1, block_k, D),
+                            lambda bh, j, i, kv: (to_kv(bh), j, 0))
+
+    def row_spec(order, width):
+        if order == "tq":
+            return pl.BlockSpec((1, width), lambda bh, i, j, kv: (bh, i))
+        return pl.BlockSpec((1, width), lambda bh, j, i, kv: (bh, i))
+
+    def do_spec(order):
+        if order == "tq":
+            return pl.BlockSpec((1, block_q, D),
+                                lambda bh, i, j, kv: (bh, i, 0))
+        return pl.BlockSpec((1, block_q, D),
+                            lambda bh, j, i, kv: (bh, i, 0))
+
+    def bias_specs(order):
+        if not with_bias:
+            if order == "tq":
+                return [pl.BlockSpec((1, 8, 128),
+                                     lambda bh, i, j, kv: (0, 0, 0)),
+                        pl.BlockSpec((1, 1, 128),
+                                     lambda bh, i, j, kv: (0, 0, 0))]
+            return [pl.BlockSpec((1, 8, 128),
+                                 lambda bh, j, i, kv: (0, 0, 0)),
+                    pl.BlockSpec((1, 1, 128),
+                                 lambda bh, j, i, kv: (0, 0, 0))]
+        if order == "tq":
+            return [pl.BlockSpec((1, block_q, block_k),
+                                 lambda bh, i, j, kv: (bh % Hq, i, j)),
+                    pl.BlockSpec((1, 1, block_q),
+                                 lambda bh, i, j, kv: (bh, 0, i))]
+        return [pl.BlockSpec((1, block_q, block_k),
+                             lambda bh, j, i, kv: (bh % Hq, i, j)),
+                pl.BlockSpec((1, 1, block_q),
+                             lambda bh, j, i, kv: (bh, 0, i))]
+
+    # ---- kernel A: dq (+dg) --------------------------------------------
+    grid_a = (B * Hq, pl.cdiv(T, block_q), pl.cdiv(S, block_k))
+    spec_a = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=grid_a,
+        in_specs=[q_spec("tq"), kv_spec("tq"), kv_spec("tq")]
+        + bias_specs("tq")
+        + [row_spec("tq", block_q), row_spec("tq", block_q), do_spec("tq")],
+        out_specs=[
+            pl.BlockSpec((1, block_q, D), lambda bh, i, j, kv: (bh, i, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda bh, i, j, kv: (bh, 0, i)),
+        ],
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32),
+                        pltpu.VMEM((block_q, 128), jnp.float32)],
+    )
+    dq_f, dg_f = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, **kw),
+        grid_spec=spec_a,
+        out_shape=[jax.ShapeDtypeStruct((B * Hq, T, D), jnp.float32),
+                   jax.ShapeDtypeStruct((B * Hq, 1, T), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(kv_lens_arr, q_f, k_f, v_f, pb_in, gate_f, lse, delta_f, do_f)
+
+    # ---- kernel B: per-q-head dk/dv, group-summed after ------------------
+    grid_b = (B * Hq, pl.cdiv(S, block_k), pl.cdiv(T, block_q))
+    spec_b = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=grid_b,
+        in_specs=[q_spec("sq"), kv_spec("sq"), kv_spec("sq")]
+        + bias_specs("sq")
+        + [row_spec("sq", block_q), row_spec("sq", block_q), do_spec("sq")],
+        out_specs=[
+            pl.BlockSpec((1, block_k, D), lambda bh, j, i, kv: (bh, j, 0)),
+            pl.BlockSpec((1, block_k, D), lambda bh, j, i, kv: (bh, j, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((block_k, D), jnp.float32),
+                        pltpu.VMEM((block_k, D), jnp.float32)],
+    )
+    dk_h, dv_h = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, q_len=T, **kw),
+        grid_spec=spec_b,
+        out_shape=[jax.ShapeDtypeStruct((B * Hq, S, D), jnp.float32),
+                   jax.ShapeDtypeStruct((B * Hq, S, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(kv_lens_arr, q_f, k_f, v_f, pb_in, gate_f, lse, delta_f, do_f)
+    dk = dk_h.reshape(B, Hkv, group, S, D).sum(axis=2).transpose(0, 2, 1, 3)
+    dv = dv_h.reshape(B, Hkv, group, S, D).sum(axis=2).transpose(0, 2, 1, 3)
+
+    dq = dq_f.reshape(B, Hq, T, D).transpose(0, 2, 1, 3).astype(q.dtype)
+    dk = dk.astype(k.dtype)
+    dv = dv.astype(v.dtype)
+
+    if not with_bias:
+        return dq, dk, dv, None, None
+
+    dg = dg_f.reshape(B, Hq, T).astype(gate.dtype)
+
+    # ---- kernel C: dpb accumulated over batch ----------------------------
+    grid_c = (Hq, pl.cdiv(T, block_q), pl.cdiv(S, block_k), B)
+    spec_c = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=grid_c,
+        in_specs=[
+            pl.BlockSpec((1, block_q, D),
+                         lambda h, i, j, b, kv: (b * Hq + h, i, 0)),
+            pl.BlockSpec((1, block_k, D),
+                         lambda h, i, j, b, kv: (b * Hkv + h // group, j, 0)),
+            pl.BlockSpec((1, block_k, D),
+                         lambda h, i, j, b, kv: (b * Hkv + h // group, j, 0)),
+            pl.BlockSpec((1, block_q, block_k),
+                         lambda h, i, j, b, kv: (h, i, j)),
+            pl.BlockSpec((1, 1, block_q),
+                         lambda h, i, j, b, kv: (b * Hq + h, 0, i)),
+            pl.BlockSpec((1, block_q),
+                         lambda h, i, j, b, kv: (b * Hq + h, i)),
+            pl.BlockSpec((1, block_q),
+                         lambda h, i, j, b, kv: (b * Hq + h, i)),
+            pl.BlockSpec((1, block_q, D),
+                         lambda h, i, j, b, kv: (b * Hq + h, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, block_k),
+                               lambda h, i, j, b, kv: (h, i, j)),
+        scratch_shapes=[pltpu.VMEM((block_q, block_k), jnp.float32)],
+    )
+    dpb = pl.pallas_call(
+        functools.partial(_bwd_dpb_kernel, n_batch=B, **{
+            k_: v_ for k_, v_ in kw.items() if k_ != "with_bias"},
+            with_bias=True),
+        grid_spec=spec_c,
+        out_shape=jax.ShapeDtypeStruct((Hq, T, S), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=interpret,
+    )(kv_lens_arr, q_f, k_f, v_f, pb_in, gate_f, lse, delta_f, do_f)
+    return dq, dk, dv, dpb.astype(pos_bias.dtype), dg
+
+
 @functools.partial(jax.custom_vjp,
                    nondiff_argnums=(6, 7, 8, 9, 10, 11))
 def _flash(q, k, v, kv_lens, pos_bias, gate, scale, causal, q_offset,
            block_q, block_k, interpret):
-    return _flash_forward(q, k, v, kv_lens, pos_bias, gate, scale, causal,
-                          q_offset, block_q, block_k, interpret)
+    out, _ = _flash_forward(q, k, v, kv_lens, pos_bias, gate, scale, causal,
+                            q_offset, block_q, block_k, interpret)
+    return out
 
 
 def _flash_fwd(q, k, v, kv_lens, pos_bias, gate, scale, causal, q_offset,
                block_q, block_k, interpret):
-    out = _flash_forward(q, k, v, kv_lens, pos_bias, gate, scale, causal,
-                         q_offset, block_q, block_k, interpret)
-    return out, (q, k, v, kv_lens, pos_bias, gate)
+    out, lse = _flash_forward(q, k, v, kv_lens, pos_bias, gate, scale,
+                              causal, q_offset, block_q, block_k, interpret)
+    return out, (q, k, v, kv_lens, pos_bias, gate, out, lse)
 
 
 def _flash_bwd(scale, causal, q_offset, block_q, block_k, interpret, res,
                g_out):
-    q, k, v, kv_lens, pos_bias, gate = res
-    def f(q, k, v, pos_bias, gate):
-        return _reference(q, k, v, kv_lens, pos_bias, gate, scale, causal,
-                          q_offset)
-    _, vjp = jax.vjp(f, q, k, v, pos_bias, gate)
-    dq, dk, dv, dpb, dg = vjp(g_out)
+    q, k, v, kv_lens, pos_bias, gate, out, lse = res
+    if os.environ.get("MTASR_FLASH_XLA_BWD"):
+        def f(q, k, v, pos_bias, gate):
+            return _reference(q, k, v, kv_lens, pos_bias, gate, scale,
+                              causal, q_offset)
+        _, vjp = jax.vjp(f, q, k, v, pos_bias, gate)
+        dq, dk, dv, dpb, dg = vjp(g_out)
+        return dq, dk, dv, None, dpb, dg
+    dq, dk, dv, dpb, dg = _flash_backward(
+        q, k, v, kv_lens, pos_bias, gate, out, lse, g_out, scale, causal,
+        q_offset, block_q, block_k, interpret)
     return dq, dk, dv, None, dpb, dg
 
 

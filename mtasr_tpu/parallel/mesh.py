@@ -119,5 +119,21 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), batch)
+    """Shard a training/eval batch over the 'data' axis.
+
+    Key-aware: `label_spks`/`label_spk_lens` are [K, B, ...] (speaker-major,
+    data/labels.py), so their *second* dim is the batch. Arrays whose batch
+    dim is not divisible by the data-axis size fall back to replication
+    (e.g. a short final eval batch) rather than erroring.
+    """
+    dp = mesh.shape["data"]
+
+    def put(key_path, a):
+        name = _path_str(key_path)
+        spec = (P(None, "data") if name.startswith("label_spk") else P("data"))
+        bdim = 1 if name.startswith("label_spk") else 0
+        if a.ndim <= bdim or a.shape[bdim] % dp != 0:
+            spec = P()
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(put, batch)

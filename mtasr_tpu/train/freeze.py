@@ -59,6 +59,13 @@ def trainable_mask(
                 return True
             return any(sub and sub in s for sub in partial_decoder_unfreeze)
 
+        if top == "decoder_lora":
+            # LoRA adapters always train (PEFT enable_adapters,
+            # finetune_asr.py:127-134) — even with freeze_decoder, which is
+            # the reference's standard LoRA recipe. The __meta__ (r/alpha)
+            # scalars are structural, never updated.
+            return ("lora_A" in s) or ("lora_B" in s)
+
         # others: separator, serialized_ctc, enc_to_dec_proj, adapters, ...
         always = ("enc_to_dec_proj" in s)
         partial = any(sub and sub in s for sub in partial_others_unfreeze)

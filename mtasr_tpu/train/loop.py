@@ -49,23 +49,44 @@ class Trainer:
                  dc: DataConfig, params: dict,
                  tokenizer=None,
                  freeze_kwargs: Optional[dict] = None,
-                 gen_cfg: Optional[GenerationConfig] = None):
+                 gen_cfg: Optional[GenerationConfig] = None,
+                 mesh=None,
+                 total_steps: Optional[int] = None):
+        """mesh: optional jax.sharding.Mesh ('data','model'). When given,
+        params are sharded by the TP partition rules and every batch is
+        sharded over the data axis — the DDP(+TP) equivalent of the
+        reference's torch.distributed.launch training (run.sh:193-194).
+
+        total_steps: schedule horizon for epoch mode (max_steps<=0);
+        typically steps_per_epoch * num_train_epochs, like HF's
+        num_update_steps_per_epoch bookkeeping."""
         self.cfg = cfg
         self.tc = tc
         self.dc = dc
         self.tokenizer = tokenizer
         self.gen_cfg = gen_cfg or GenerationConfig()
+        self.mesh = mesh
         self.mask = trainable_mask(params, train_mode=cfg.train_mode,
                                    **(freeze_kwargs or {}))
         summ = freeze_summary(params, self.mask)
         logger.info("params: total=%d trainable=%d frozen=%d", summ["total"],
                     summ["trainable"], summ["frozen"])
-        self.optimizer = make_optimizer(tc, self.mask)
+        sched_total = tc.max_steps if tc.max_steps > 0 else total_steps
+        self.optimizer = make_optimizer(tc, self.mask,
+                                        total_steps=sched_total)
+        if mesh is not None:
+            from mtasr_tpu.parallel.mesh import shard_params
+            params = shard_params(params, mesh)
+            logger.info("sharded params over mesh %s", dict(mesh.shape))
+        # opt state inherits param shardings (zeros_like under jit keeps
+        # the NamedShardings of its prototypes)
         self.state = TrainState(params=params,
                                 opt_state=self.optimizer.init(params))
         self._train_steps: Dict[int, Callable] = {}
         self._eval_steps: Dict[int, Callable] = {}
         self.metrics_log: List[dict] = []
+        self.best_metric: Optional[float] = None
+        self.best_step: Optional[int] = None
 
     # -- step caches keyed by splice_index (static per batch layout) --------
     def _train_step(self, splice_index: int) -> Callable:
@@ -127,6 +148,10 @@ class Trainer:
               eval_refs: Optional[Dict[str, str]] = None,
               max_steps: Optional[int] = None) -> TrainState:
         max_steps = max_steps or self.tc.max_steps
+        if max_steps <= 0:
+            # epoch mode (run.sh passes num_train_epochs, max_steps unset):
+            # the epoch-count break below bounds the run
+            max_steps = int(1e12)
         base_rng = jax.random.key(self.tc.seed)
         t_start = time.perf_counter()
         samples = 0
@@ -145,6 +170,9 @@ class Trainer:
                 step_rng = jax.random.fold_in(base_rng, self.state.step)
                 arrays = {k: jnp.asarray(v) for k, v in batch.arrays.items()
                           if k != "prompt_ids"}
+                if self.mesh is not None:
+                    from mtasr_tpu.parallel.mesh import shard_batch
+                    arrays = shard_batch(arrays, self.mesh)
                 step_fn = self._train_step(batch.splice_index)
                 params, opt_state, metrics = step_fn(
                     self.state.params, self.state.opt_state, arrays, step_rng)
@@ -167,13 +195,61 @@ class Trainer:
                         and self.state.step % self.tc.eval_steps == 0):
                     em = self.evaluate(eval_batches(), eval_refs)
                     logger.info("eval @%d: %s", self.state.step, em)
+                    self._maybe_update_best(em)
             if n_batches == 0:
                 logger.warning("no batches produced this epoch; stopping")
                 break
             if epoch >= self.tc.num_train_epochs and self.tc.max_steps <= 0:
                 break
         self.save()
+        self._maybe_load_best()
         return self.state
+
+    # -- best-model retention (trainer_seq2seq.py:1663-1704; run.sh:202-204:
+    # metric_for_best_model=eval_loss, greater_is_better=false) -------------
+    def _best_dir(self) -> str:
+        import os
+        return os.path.join(self.tc.output_dir, "best")
+
+    def _maybe_update_best(self, eval_metrics: Dict[str, float]) -> None:
+        key = self.tc.metric_for_best_model
+        if key not in eval_metrics and not key.startswith("eval_"):
+            key = f"eval_{key}"          # HF's metric-name normalization
+        if key not in eval_metrics:
+            return
+        value = float(eval_metrics[key])
+        better = (self.best_metric is None
+                  or (value > self.best_metric if self.tc.greater_is_better
+                      else value < self.best_metric))
+        if not better:
+            return
+        self.best_metric = value
+        self.best_step = self.state.step
+        # saved outside the checkpoint-N rotation so save_total_limit can
+        # never evict the best model (HF protects best_model_checkpoint too)
+        save_checkpoint(self._best_dir(), self.state.step, self.state.params,
+                        extra={"step": np.asarray(self.state.step),
+                               "metric": np.asarray(value)},
+                        save_total_limit=1)
+        logger.info("new best %s=%.4f at step %d", key, value,
+                    self.state.step)
+
+    def _maybe_load_best(self) -> None:
+        if not self.tc.load_best_model_at_end or self.best_step is None:
+            return
+        ckpt = last_checkpoint(self._best_dir())
+        if ckpt is None:
+            return
+        template = {
+            "params": jax.tree_util.tree_map(np.asarray, self.state.params),
+            "extra": {"step": np.asarray(0), "metric": np.asarray(0.0)},
+        }
+        restored = restore_checkpoint(ckpt, template)
+        self.state = TrainState(
+            params=jax.tree_util.tree_map(jnp.asarray, restored["params"]),
+            opt_state=self.state.opt_state, step=self.state.step)
+        logger.info("loaded best model (step %d, %s=%.4f)", self.best_step,
+                    self.tc.metric_for_best_model, self.best_metric)
 
     # -- eval ---------------------------------------------------------------
     def evaluate(self, batches: Iterable[Batch],

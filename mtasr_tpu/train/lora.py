@@ -7,10 +7,15 @@ Reference equivalents:
   (/root/reference/utils/merge_adapter.py:15-82)
 
 Here LoRA params live in a parallel subtree params['decoder_lora'] keyed by
-layer and proj name; application is a functional wrapper that rewrites the
-decoder param tree as W' = W + (alpha/r) * B @ A before the forward (a pure
-tree-map — XLA folds it; for training it keeps base weights frozen while
-only A/B receive gradients), and merge materializes W' permanently.
+layer and proj name. Two application modes:
+
+* training: activation-level, inside the decoder attention
+  (models/llama.py::_lora_linear) — y += (alpha/r) * B(A(dropout(x))),
+  exactly PEFT's LoRA layer semantics incl. branch-input dropout, so
+  gradients flow to lora_A/lora_B while base weights stay frozen;
+* inference/merge: weight-level fold W' = W + (alpha/r) * B @ A
+  (apply_decoder_lora / merge_decoder_lora), identical to the activation
+  path when dropout is off.
 """
 from __future__ import annotations
 
@@ -26,7 +31,9 @@ def init_decoder_lora(key: jax.Array, decoder_params: dict,
                       r: int = 16, alpha: float = 32.0,
                       layers: Optional[Sequence[int]] = None,
                       dtype=jnp.float32) -> dict:
-    lora: dict = {"__meta__": {"r": jnp.asarray(r), "alpha": jnp.asarray(alpha)}}
+    # meta kept in f32: int leaves would break jax.grad over the param tree
+    lora: dict = {"__meta__": {"r": jnp.asarray(float(r), jnp.float32),
+                               "alpha": jnp.asarray(float(alpha), jnp.float32)}}
     layer_tree = decoder_params["model"]["layers"]
     for li, layer in layer_tree.items():
         if layers is not None and int(li) not in layers:

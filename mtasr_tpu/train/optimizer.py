@@ -25,6 +25,11 @@ def make_optimizer(tc: TrainingConfig, trainable: Optional[dict] = None,
                    total_steps: Optional[int] = None
                    ) -> optax.GradientTransformation:
     total = total_steps or tc.max_steps
+    if total is None or total <= 0:
+        raise ValueError(
+            "linear schedule needs a positive total step count: set "
+            "TrainingConfig.max_steps > 0, or (epoch mode) pass total_steps="
+            "steps_per_epoch * num_train_epochs")
     sched = linear_warmup_schedule(tc.learning_rate, tc.warmup_steps, total)
     tx = optax.chain(
         optax.clip_by_global_norm(tc.max_grad_norm),

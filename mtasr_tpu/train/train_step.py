@@ -129,10 +129,14 @@ def make_train_step(
                 loss_all, shared0, rest0, has_aux=True)
             K = heads.shape[0]
             g_shared_total, g_rest = vjp_fn((jnp.float32(1.0), jnp.zeros_like(heads)))
-            scale = 1.0 / float(tc.gradient_accumulation_steps)
+            # NOTE: no 1/accum_steps seed scaling here. The reference scales
+            # per-head grads by 1/accum (trainer_seq2seq.py:1096-1106) because
+            # HF SUMS micro-batch grads; our optax.MultiSteps AVERAGES them,
+            # so an extra 1/accum would shrink encoder+separator grads by an
+            # additional factor of accum vs every other subtree.
             head_grads = []
             for i in range(K):
-                e = jnp.zeros_like(heads).at[i].set(scale)
+                e = jnp.zeros_like(heads).at[i].set(1.0)
                 g_i, _ = vjp_fn((jnp.float32(0.0), e))
                 if trainable_mask is not None:
                     m_shared, _ = _split_shared(trainable_mask)

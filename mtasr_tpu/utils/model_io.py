@@ -34,6 +34,7 @@ def save_model(path: str, cfg: SpeechEncoderDecoderConfig, params: dict) -> None
 def load_model(path: str) -> Tuple[SpeechEncoderDecoderConfig, dict]:
     with open(os.path.join(path, "config.json")) as f:
         cfg = SpeechEncoderDecoderConfig.from_json(f.read())
+    cfg.validate()
     params = load_safetensors_tree(os.path.join(path, "model.safetensors"))
     return cfg, params
 

@@ -21,12 +21,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def quantize_linear(p: dict) -> dict:
+def quantize_linear(p: dict, mode: str = "w8") -> dict:
+    """mode='w8': weight-only (dequant-to-bf16 in the dot operand).
+    mode='w8a8': true int8 matmul — activations quantized per token at run
+    time, s8 x s8 -> s32 on the MXU (models/layers.py::linear dispatch)."""
     w = np.asarray(p["weight"], np.float32)
     scale = np.abs(w).max(axis=1, keepdims=True) / 127.0
     scale = np.maximum(scale, 1e-12)
     wq = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
-    out = {"weight_q8": jnp.asarray(wq),
+    key = "weight_q8a8" if mode == "w8a8" else "weight_q8"
+    out = {key: jnp.asarray(wq),
            "scale": jnp.asarray(scale[:, 0].astype(np.float32))}
     if "bias" in p:
         out["bias"] = p["bias"]
@@ -38,38 +42,39 @@ def _is_linear(node) -> bool:
         not isinstance(node["weight"], dict) and node["weight"].ndim == 2
 
 
-def quantize_tree(tree, min_out_dim: int = 256):
+def quantize_tree(tree, min_out_dim: int = 256, mode: str = "w8"):
     """Quantize every 2D linear weight with out_dim >= min_out_dim (skips
     tiny glue layers where int8 error isn't worth it)."""
     if _is_linear(tree) and tree["weight"].shape[0] >= min_out_dim:
-        return quantize_linear(tree)
+        return quantize_linear(tree, mode)
     if isinstance(tree, dict):
-        return {k: quantize_tree(v, min_out_dim) for k, v in tree.items()}
+        return {k: quantize_tree(v, min_out_dim, mode) for k, v in tree.items()}
     return tree
 
 
-def quantize_decoder_for_serving(params: dict) -> dict:
+def quantize_decoder_for_serving(params: dict, mode: str = "w8") -> dict:
     """Quantize the LLaMA decoder linears (q/k/v/o, MLP, lm_head) +
     embedding table stays bf16 (gather-only)."""
+    assert mode in ("w8", "w8a8"), mode
     out = dict(params)
     dec = {k: v for k, v in params["decoder"].items()}
     model = dict(dec["model"])
     layers = {}
     for li, layer in model["layers"].items():
         layers[li] = {
-            "self_attn": quantize_tree(layer["self_attn"]),
-            "mlp": quantize_tree(layer["mlp"]),
+            "self_attn": quantize_tree(layer["self_attn"], mode=mode),
+            "mlp": quantize_tree(layer["mlp"], mode=mode),
             "input_layernorm": layer["input_layernorm"],
             "post_attention_layernorm": layer["post_attention_layernorm"],
         }
     model["layers"] = layers
     dec["model"] = model
     if "lm_head" in dec:
-        dec["lm_head"] = quantize_tree(dec["lm_head"])
+        dec["lm_head"] = quantize_tree(dec["lm_head"], mode=mode)
     else:
         # tied embeddings: materialize a quantized head so the per-token
         # logits matmul streams int8 instead of the bf16 embedding table
         dec["lm_head"] = quantize_linear(
-            {"weight": model["embed_tokens"]["weight"]})
+            {"weight": model["embed_tokens"]["weight"]}, mode)
     out["decoder"] = dec
     return out

@@ -81,3 +81,53 @@ def test_flash_backward_grads():
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
                                    atol=2e-4)
+
+
+def test_flash_backward_with_bias_and_kvlens():
+    """Full backward parity incl. the gated rel-pos bias grads (dpb, dg) and
+    padded keys — the path the WavLM encoder trains through."""
+    B, T, D, H = 2, 48, 32, 2
+    q, k, v = _rand((B, T, H, D), 20), _rand((B, T, H, D), 21), \
+        _rand((B, T, H, D), 22)
+    pos_bias = _rand((H, T, T), 23) * 0.3
+    gate = jnp.abs(_rand((B, H, T), 24))
+    kv_lens = jnp.array([48, 31])
+
+    def loss_flash(q, k, v, pb, g):
+        return jnp.sum(flash_attention(
+            q, k, v, kv_lens=kv_lens, pos_bias=pb, gate=g,
+            block_q=32, block_k=32, interpret=True) ** 2)
+
+    def loss_ref(q, k, v, pb, g):
+        return jnp.sum(_reference(q, k, v, kv_lens, pb, g, D ** -0.5,
+                                  False, 0) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2, 3, 4))(q, k, v, pos_bias,
+                                                       gate)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, pos_bias, gate)
+    for name, a, b in zip(("dq", "dk", "dv", "dpb", "dg"), gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4,
+                                   atol=3e-4, err_msg=name)
+
+
+def test_flash_backward_gqa_ragged():
+    """GQA group-summed dk/dv with non-divisible T/S."""
+    B, T, S, D, Hq, Hkv = 2, 50, 70, 32, 4, 2
+    q, k, v = _rand((B, T, Hq, D), 25), _rand((B, S, Hkv, D), 26), \
+        _rand((B, S, Hkv, D), 27)
+    kv_lens = jnp.array([70, 44])
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, kv_lens=kv_lens, causal=True,
+                                       q_offset=S - T, block_q=32,
+                                       block_k=32, interpret=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference(q, k, v, kv_lens, None, None, D ** -0.5,
+                                  True, S - T) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4,
+                                   atol=3e-4, err_msg=name)

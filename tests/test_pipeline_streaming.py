@@ -1,0 +1,105 @@
+"""Streaming data pipeline: lazy waveform loading (O(batch) memory instead
+of O(dataset) — VERDICT.md round 1 missing #5), multiprocess preprocessing,
+and the on-disk preprocessing cache (the reference's datasets.map
+num_proc + arrow-cache pattern, utils/vectorized_dataset_utils.py:26-124)."""
+import os
+
+import numpy as np
+import pytest
+
+from mtasr_tpu.config import DataConfig
+from mtasr_tpu.data.audio import Utterance, write_wav
+from mtasr_tpu.data.pipeline import (
+    batches_from_examples, prepare_example, prepare_examples,
+)
+from mtasr_tpu.data.tokenizer import CharTokenizer
+from tests.test_composite import tiny_cfg
+
+
+@pytest.fixture()
+def kaldi_dir(tmp_path):
+    rng = np.random.default_rng(0)
+    utts = []
+    for i in range(12):
+        n = int(rng.integers(4000, 16000))
+        wav = rng.standard_normal(n).astype(np.float32) * 0.1
+        p = str(tmp_path / f"u{i}.wav")
+        write_wav(p, wav, 16000)
+        utts.append(Utterance(f"u{i}", p, f"hello world {i}"))
+    return utts
+
+
+def _tok():
+    t = CharTokenizer()
+    t.add_special_tokens(instruct=False)
+    return t
+
+
+def test_lazy_examples_defer_audio(kaldi_dir):
+    dc = DataConfig(min_duration_in_seconds=0.0, max_duration_in_seconds=20.0)
+    tok = _tok()
+    lazy = prepare_examples(kaldi_dir, tok, dc, lazy=True)
+    eager = prepare_examples(kaldi_dir, tok, dc, lazy=False)
+    assert len(lazy) == len(eager) == 12
+    for le, ee in zip(lazy, eager):
+        assert le.input_values is None and le.wav_path
+        assert ee.input_values is not None
+        assert le.n_samples == ee.n_samples
+        assert le.labels == ee.labels
+        # materialization equals the eager waveform bit-for-bit
+        np.testing.assert_array_equal(le.waveform(dc), ee.input_values)
+
+
+def test_lazy_and_eager_batches_identical(kaldi_dir):
+    dc = DataConfig(min_duration_in_seconds=0.0, max_duration_in_seconds=20.0,
+                    bucket_boundaries_seconds=(0.5, 1.0, 2.0),
+                    max_label_length=32)
+    cfg = tiny_cfg(train_mode="attention", talker_ctc=False)
+    cfg.encoder.mask_time_prob = 0.0
+    tok = _tok()
+    lazy = prepare_examples(kaldi_dir, tok, dc, lazy=True)
+    eager = prepare_examples(kaldi_dir, tok, dc, lazy=False)
+    bl = list(batches_from_examples(lazy, cfg, dc, 4, training=False,
+                                    shuffle=False, drop_last=False))
+    be = list(batches_from_examples(eager, cfg, dc, 4, training=False,
+                                    shuffle=False, drop_last=False))
+    assert len(bl) == len(be) > 0
+    for a, b in zip(bl, be):
+        assert a.utt_ids == b.utt_ids
+        for k in a.arrays:
+            np.testing.assert_array_equal(a.arrays[k], b.arrays[k])
+
+
+def test_multiprocess_matches_serial(kaldi_dir):
+    dc = DataConfig(min_duration_in_seconds=0.0, max_duration_in_seconds=20.0)
+    tok = _tok()
+    serial = prepare_examples(kaldi_dir, tok, dc, lazy=True, num_proc=1)
+    parallel = prepare_examples(kaldi_dir, tok, dc, lazy=True, num_proc=3)
+    assert [e.utt_id for e in serial] == [e.utt_id for e in parallel]
+    for a, b in zip(serial, parallel):
+        assert a.labels == b.labels and a.n_samples == b.n_samples
+
+
+def test_duration_filter_applies_lazily(kaldi_dir):
+    dc = DataConfig(min_duration_in_seconds=0.5, max_duration_in_seconds=20.0)
+    tok = _tok()
+    kept = prepare_examples(kaldi_dir, tok, dc, lazy=True)
+    # only utterances longer than 0.5 s (8000 samples) survive
+    assert all(e.n_samples > 8000 for e in kept)
+    assert 0 < len(kept) < 12
+
+
+def test_preprocessing_cache_roundtrip(kaldi_dir, tmp_path):
+    dc = DataConfig(min_duration_in_seconds=0.0, max_duration_in_seconds=20.0)
+    tok = _tok()
+    cache = str(tmp_path / "prep_cache.jsonl")
+    first = prepare_examples(kaldi_dir, tok, dc, lazy=True, cache_path=cache)
+    assert os.path.exists(cache)
+    # cache hit: no utterances touched (pass an empty utt list to prove the
+    # result comes from disk)
+    second = prepare_examples([], tok, dc, lazy=True, cache_path=cache)
+    assert [e.utt_id for e in second] == [e.utt_id for e in first]
+    assert [e.labels for e in second] == [e.labels for e in first]
+    # cached examples still materialize audio
+    np.testing.assert_array_equal(second[0].waveform(dc),
+                                  first[0].waveform(dc))

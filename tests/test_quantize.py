@@ -52,3 +52,27 @@ def test_quantize_preserves_tree_structure():
     # layernorms always untouched
     l0 = q["decoder"]["model"]["layers"]["0"]
     assert "weight" in l0["input_layernorm"]
+
+
+def test_w8a8_linear_close_and_int8_dot():
+    rng = np.random.default_rng(1)
+    p = {"weight": jnp.asarray(rng.standard_normal((512, 256)), jnp.float32),
+         "bias": jnp.asarray(rng.standard_normal(512), jnp.float32)}
+    x = jnp.asarray(rng.standard_normal((4, 256)), jnp.float32)
+    y = linear(p, x)
+    q = quantize_linear(p, mode="w8a8")
+    assert "weight_q8a8" in q and q["weight_q8a8"].dtype == jnp.int8
+    yq = linear(q, x)
+    rel = float(jnp.linalg.norm(y - yq) / jnp.linalg.norm(y))
+    # w8a8 dynamic per-token quant: slightly looser than weight-only
+    assert rel < 0.03, rel
+
+
+def test_w8a8_generate_runs():
+    cfg = tiny_cfg(train_mode="attention")
+    params = init_model_params(jax.random.key(0), cfg)
+    qparams = quantize_decoder_for_serving(params, mode="w8a8")
+    wav, amask, _ = make_batch(cfg, B=2, seed=9)
+    outq = generate(qparams, cfg, jnp.asarray(wav), jnp.asarray(amask),
+                    max_new_tokens=6)
+    assert np.asarray(outq.sequences).shape == (2, 6)

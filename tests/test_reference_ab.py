@@ -1,0 +1,279 @@
+"""Composite-level A/B against the ACTUAL reference implementation.
+
+Instantiates the reference's own SpeechEncoderDecoderModelLlama
+(/root/reference/models/modeling_speech_encoder_decoder_llama.py:87-831) at
+tiny geometry, grafts its randomly-initialized torch weights into our JAX
+param tree, and asserts forward-loss / logits / forward_ctc parity on one
+batch across train modes. This converts "re-designed faithfully" from
+argument to measurement (VERDICT.md round 1, missing #4): if label surgery,
+speech splicing, masking, or loss wiring ever drifts from the reference,
+these tests fail.
+
+The installed transformers is newer than the reference's pin, so a few
+symbols its vendored HF files import no longer exist; they are shimmed with
+inert placeholders (never executed on the paths under test).
+"""
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from mtasr_tpu.config import (  # noqa: E402
+    LlamaConfig, SpeechEncoderDecoderConfig, WavLMConfig,
+)
+from mtasr_tpu.data.labels import build_training_arrays  # noqa: E402
+from mtasr_tpu.models.speech_encoder_decoder import (  # noqa: E402
+    forward_ctc, init_model_params, model_forward,
+)
+from mtasr_tpu.utils.torch_interop import (  # noqa: E402
+    convert_torch_state_dict, tree_to_flat,
+)
+
+PAD, SC, BOS, EOS = 50, 51, 1, 2
+VOCAB = 64
+
+
+def _shim(modname, names):
+    import importlib
+    import typing
+    m = importlib.import_module(modname)
+    for n in names:
+        if not hasattr(m, n):
+            val = ({} if "MAPPING" in n
+                   else typing.TypedDict if n == "LossKwargs"
+                   else type(n, (), {}))
+            setattr(m, n, val)
+
+
+def _import_reference():
+    _shim("transformers.cache_utils", ["QuantizedCacheConfig"])
+    _shim("transformers.generation.candidate_generator",
+          ["_crop_past_key_values", "_prepare_attention_mask",
+           "_prepare_token_type_ids"])
+    _shim("transformers.generation.configuration_utils",
+          ["NEED_SETUP_CACHE_CLASSES_MAPPING",
+           "QUANT_BACKEND_CLASSES_MAPPING"])
+    _shim("transformers.utils", ["LossKwargs"])
+    for p in ("/root/reference/models", "/root/reference"):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    import modeling_speech_encoder_decoder_llama as ref_mod
+    # the vendored llama_modules.py uses ALL_ATTENTION_FUNCTIONS at line 316
+    # without importing it (its pinned transformers resolved it differently);
+    # inject the installed registry so non-eager attention paths work
+    import llama_modules
+    from transformers.modeling_utils import ALL_ATTENTION_FUNCTIONS
+    llama_modules.ALL_ATTENTION_FUNCTIONS = ALL_ATTENTION_FUNCTIONS
+    return ref_mod
+
+
+try:
+    REF = _import_reference()
+except Exception as e:  # pragma: no cover - environment drift
+    REF = None
+    _IMPORT_ERR = e
+
+pytestmark = pytest.mark.skipif(
+    REF is None, reason=f"reference import failed: "
+                        f"{None if REF else _IMPORT_ERR}")
+
+
+_ENC_KW = dict(
+    vocab_size=32, hidden_size=32, num_hidden_layers=2,
+    num_attention_heads=2, intermediate_size=48,
+    conv_dim=(8, 8), conv_stride=(5, 2), conv_kernel=(10, 3),
+    conv_bias=True, num_buckets=16, max_bucket_distance=20,
+    do_stable_layer_norm=True, feat_extract_norm="layer",
+    num_conv_pos_embeddings=8, num_conv_pos_embedding_groups=2,
+    # output_hidden_size == hidden_size: the reference's enc_to_dec_proj is
+    # constructed from encoder.hidden_size (modeling...llama.py:268) but fed
+    # output_hidden_size-dim features — its recipes only work when the two
+    # are equal, so the A/B must keep them equal too
+    add_adapter=True, adapter_kernel_size=3, adapter_stride=2,
+    num_adapter_layers=3, output_hidden_size=32,
+    mask_time_prob=0.0, mask_feature_prob=0.0, hidden_dropout=0.0,
+    attention_dropout=0.0, activation_dropout=0.0, feat_proj_dropout=0.0,
+    layerdrop=0.0,
+)
+_DEC_KW = dict(
+    vocab_size=VOCAB, hidden_size=24, intermediate_size=48,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    head_dim=6, rope_theta=10000.0, bos_token_id=BOS, eos_token_id=EOS,
+    attention_dropout=0.0,
+)
+
+
+def _build_reference(train_mode, talker_ctc, seed=0, **flags):
+    from transformers import LlamaConfig as HFLlamaConfig
+    from transformers import WavLMConfig as HFWavLMConfig
+    from transformers.models.speech_encoder_decoder import (
+        SpeechEncoderDecoderConfig as HFSEDConfig,
+    )
+    torch.manual_seed(seed)
+    enc_cfg = HFWavLMConfig(num_feat_extract_layers=2, **_ENC_KW)
+    dec_cfg = HFLlamaConfig(**_DEC_KW)
+    # the reference's custom decoder reads these off the *decoder* config
+    # (modeling_llama.py:171,222), not just the composite one
+    dec_cfg.instruct = False
+    # vendored llama_modules.py:316 indexes ALL_ATTENTION_FUNCTIONS (gone in
+    # the installed transformers) for any non-eager impl; eager is the
+    # always-available exact path
+    enc_cfg._attn_implementation = "eager"
+    dec_cfg._attn_implementation = "eager"
+    sed = HFSEDConfig.from_encoder_decoder_configs(enc_cfg, dec_cfg)
+    sed.pad_token_id = PAD
+    sed.sc_token_id = SC
+    sed.ignore_token_id = -100
+    sed.decoder_start_token_id = BOS
+    sed.eos_token_id = EOS
+    sed.bos_token_id = BOS
+    sed.train_mode = train_mode
+    sed.ctc_alpha = 0.7
+    sed.talker_ctc = talker_ctc
+    sed.talker_numbers = 2
+    sed.separator_hidden = 20
+    sed.instruct = False
+    sed.use_cache = False
+    for k, v in flags.items():
+        setattr(sed, k, v)
+    model = REF.SpeechEncoderDecoderModelLlama(config=sed).eval()
+    if not talker_ctc:
+        # reference bug: the loss path reads self.separator.parameters()
+        # unconditionally (modeling...llama.py:773) but the module is only
+        # built under talker_ctc (line 181) — labels + talker_ctc=False
+        # crashes upstream too; an empty module keeps the math identical
+        model.separator = torch.nn.ModuleList()
+    # reference losses module is constructed in hybrid; forward uses the
+    # configured mode through self.losses.mode
+    model.losses.mode = train_mode
+    return model
+
+
+def _ours_cfg(train_mode, talker_ctc, **flags):
+    enc = WavLMConfig(**_ENC_KW)
+    dec = LlamaConfig(**_DEC_KW)
+    return SpeechEncoderDecoderConfig(
+        encoder=enc, decoder=dec, pad_token_id=PAD, sc_token_id=SC,
+        eos_token_id=EOS, bos_token_id=BOS, decoder_start_token_id=BOS,
+        train_mode=train_mode, ctc_alpha=0.7, talker_ctc=talker_ctc,
+        talker_numbers=2, separator_hidden=20, **flags)
+
+
+def _graft(ref_model, my_cfg):
+    """torch state_dict -> our param tree, with the two naming deltas:
+    CustomLSTMCell's inner Linear 'W' level and the branch Sequential's LN
+    index (separator.py:10,116-131)."""
+    sd = {k: v for k, v in ref_model.state_dict().items()}
+    remapped = {}
+    for k, v in sd.items():
+        k = k.replace(".W.weight", ".weight").replace(".W.bias", ".bias") \
+            if ".lstm.cells." in k else k
+        if ".sep_branches." in k:
+            parts = k.split(".")
+            if parts[-2] == "4":
+                parts[-2] = "ln"
+            k = ".".join(parts)
+        remapped[k] = v
+    tree = convert_torch_state_dict(remapped)
+    import jax
+    mine = init_model_params(jax.random.key(0), my_cfg)
+    flat_mine = tree_to_flat(mine)
+    flat_ref = tree_to_flat(tree)
+    missing = sorted(set(flat_mine) - set(flat_ref))
+    assert not missing, f"reference graft missing keys: {missing[:10]}"
+    out = {k: jnp.asarray(flat_ref[k]) for k in flat_mine}
+    # rebuild nested tree with my structure
+    from mtasr_tpu.utils.torch_interop import flat_to_tree
+    return flat_to_tree(out)
+
+
+def _batch(B=2, S=8000, seed=3):
+    rng = np.random.default_rng(seed)
+    wav = rng.standard_normal((B, S)).astype(np.float32)
+    amask = np.ones((B, S), np.int64)
+    amask[-1, S // 2:] = 0
+    rows = []
+    for b in range(B):
+        l1, l2 = int(rng.integers(3, 6)), int(rng.integers(3, 6))
+        rows.append(list(rng.integers(3, 40, l1)) + [SC]
+                    + list(rng.integers(3, 40, l2)))
+    L = max(len(r) for r in rows)
+    labels = np.full((B, L), -100, np.int64)
+    for b, r in enumerate(rows):
+        labels[b, :len(r)] = r
+    return wav, amask, labels
+
+
+def _run_pair(train_mode, talker_ctc, ref_flags=None, our_flags=None):
+    ref_model = _build_reference(train_mode, talker_ctc, **(ref_flags or {}))
+    cfg = _ours_cfg(train_mode, talker_ctc, **(our_flags or {}))
+    params = _graft(ref_model, cfg)
+    wav, amask, labels = _batch()
+
+    with torch.no_grad():
+        ref_out = ref_model(
+            inputs=torch.tensor(wav),
+            attention_mask=torch.tensor(amask),
+            labels=torch.tensor(labels),
+            return_dict=True)
+
+    arr = build_training_arrays(
+        labels, pad_token_id=PAD, decoder_start_token_id=BOS,
+        eos_token_id=EOS, sc_token_id=SC, talker_numbers=2)
+    out = model_forward(
+        params, cfg, jnp.asarray(wav), jnp.asarray(amask),
+        jnp.asarray(arr["decoder_input_ids"]), splice_index=1,
+        ce_labels=jnp.asarray(arr["ce_labels"]),
+        label_spks=jnp.asarray(arr["label_spks"]),
+        label_spk_lens=jnp.asarray(arr["label_spk_lens"]))
+    return ref_out, out
+
+
+@pytest.mark.parametrize("train_mode,talker_ctc", [
+    ("attention", False),
+    ("attention", True),
+    ("ctc", True),
+    ("hybrid", True),
+])
+def test_forward_loss_parity(train_mode, talker_ctc):
+    ref_out, out = _run_pair(train_mode, talker_ctc)
+    ref_loss = float(ref_out.loss)
+    my_loss = float(out.loss)
+    np.testing.assert_allclose(my_loss, ref_loss, rtol=2e-3), \
+        (my_loss, ref_loss)
+    # logits over the full spliced layout must match position-for-position
+    np.testing.assert_allclose(
+        np.asarray(out.logits, np.float32),
+        ref_out.logits.numpy(), rtol=5e-3, atol=5e-3)
+
+
+def test_forward_ctc_parity():
+    ref_model = _build_reference("ctc", True)
+    cfg = _ours_cfg("ctc", True)
+    params = _graft(ref_model, cfg)
+    wav, amask, _ = _batch()
+    # full-length rows only: the reference collapse ignores the conv-length
+    # mask entirely (modeling...llama.py:888-900 passes raw argmax), while
+    # ours deliberately excludes padded frames — identical on unpadded rows
+    amask = np.ones_like(amask)
+    with torch.no_grad():
+        ref_trans = ref_model.forward_ctc(
+            inputs=torch.tensor(wav), attention_mask=torch.tensor(amask))
+    # max_out_len must cover the full pre-adapter frame count (~S/10): the
+    # reference right-pads each speaker segment to frame length with PAD
+    # (ctc_remove_duplicates_and_blank), so after PAD-filtering the streams
+    # are only comparable if ours is untruncated too
+    trans, lens = forward_ctc(params, cfg, jnp.asarray(wav),
+                              jnp.asarray(amask), max_out_len=1024)
+    trans = np.asarray(trans)
+    ref_np = (ref_trans.numpy() if hasattr(ref_trans, "numpy")
+              else np.asarray(ref_trans))
+    # compare collapsed token streams per row, ignoring pad tails
+    for b in range(trans.shape[0]):
+        mine_tokens = [t for t in trans[b] if t != PAD]
+        ref_tokens = [t for t in ref_np[b] if t != PAD]
+        assert mine_tokens == ref_tokens, (b, mine_tokens, ref_tokens)
