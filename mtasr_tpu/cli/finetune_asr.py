@@ -175,7 +175,8 @@ def main(argv=None):
     def train_iter():
         return batches_from_examples(
             train_ex, cfg, dc, global_batch, training=True,
-            seed=tc.seed + trainer.state.step)
+            pad_partial=True,   # DDP sampler padding: small datasets still
+            seed=tc.seed + trainer.state.step)  # fill a dp-wide batch
 
     def eval_iter():
         return batches_from_examples(

@@ -60,6 +60,8 @@ def main(argv=None):
     p.add_argument("--learning_rate", type=float, default=3e-5)
     p.add_argument("--max_steps", type=int, default=100000)
     p.add_argument("--per_device_train_batch_size", type=int, default=12)
+    p.add_argument("--dp_size", type=int, default=-1)
+    p.add_argument("--tp_size", type=int, default=1)
     p.add_argument("--max_length", type=int, default=150)
     p.add_argument("--num_beams", type=int, default=1)
     args = p.parse_args(argv)
@@ -115,6 +117,8 @@ def main(argv=None):
                      "--max_steps", str(args.max_steps),
                      "--per_device_train_batch_size",
                      str(args.per_device_train_batch_size),
+                     "--dp_size", str(args.dp_size),
+                     "--tp_size", str(args.tp_size),
                      ] + common_model_flags
             if args.ctc_bridge:
                 flags += ["--ctc_bridge", "--ctc_bridge_type",
@@ -135,6 +139,8 @@ def main(argv=None):
             base = ["--model_name_or_path", os.path.join(exp_dir, "final"),
                     "--data_dir", data, "--output_dir", dec_dir,
                     "--max_length", str(args.max_length),
+                    "--dp_size", str(args.dp_size),
+                    "--tp_size", str(args.tp_size),
                     "--num_beams", str(args.num_beams)] + common_model_flags
             if args.tokenizer_name:
                 base += ["--tokenizer_name", args.tokenizer_name]

@@ -378,6 +378,9 @@ class GenerationConfig:
     top_k: int = 0
     top_p: float = 1.0
     use_cache: bool = True
+    # int8 KV cache (per-token-per-head symmetric scales) — halves the
+    # dominant HBM stream of the long-context decode step
+    kv_quant: bool = False
 
 
 @dataclass

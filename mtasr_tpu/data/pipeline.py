@@ -230,11 +230,18 @@ def batches_from_examples(
     examples: List[PreparedExample], cfg: SpeechEncoderDecoderConfig,
     dc: DataConfig, batch_size: int, *,
     training: bool = True, shuffle: bool = True, seed: int = 0,
-    drop_last: bool = True,
+    drop_last: bool = True, pad_partial: bool = False,
     shard_index: int = 0, num_shards: int = 1,
 ) -> Iterator[Batch]:
     """Length-bucketed batch iterator with host-level dataset sharding
-    (reference inference_asr_gpus.py:200-202 dataset.shard pattern)."""
+    (reference inference_asr_gpus.py:200-202 dataset.shard pattern).
+
+    pad_partial=True tops up a short final chunk by cycling examples from
+    the same bucket — torch DistributedSampler's drop_last=False padding,
+    which the reference's DDP launch relies on so a global batch (bs x
+    world_size) larger than a small dataset still trains. Keeps every batch
+    at the full static shape.
+    """
     rng = np.random.default_rng(seed)
     examples = examples[shard_index::num_shards]
     # group by audio bucket so every batch has one static audio shape
@@ -246,11 +253,19 @@ def batches_from_examples(
         idx = np.arange(len(group))
         if shuffle:
             rng.shuffle(idx)
-        for i in range(0, len(group) - (batch_size - 1 if drop_last else 0),
-                       batch_size):
+        step = batch_size if (not drop_last or pad_partial) else batch_size
+        lo_stop = (len(group) if (not drop_last or pad_partial)
+                   else len(group) - (batch_size - 1))
+        for i in range(0, max(lo_stop, 0), step):
             chunk = [group[j] for j in idx[i:i + batch_size]]
-            if drop_last and len(chunk) < batch_size:
-                continue
+            if len(chunk) < batch_size:
+                if drop_last and not pad_partial:
+                    continue
+                if pad_partial:
+                    k = 0
+                    while len(chunk) < batch_size:
+                        chunk.append(group[idx[k % len(group)]])
+                        k += 1
             order.append(chunk)
     if shuffle:
         rng.shuffle(order)

@@ -96,7 +96,8 @@ def _generate_impl(params, cfg: SpeechEncoderDecoderConfig,
     position_ids = jnp.broadcast_to(
         jnp.arange(total_prefill)[None, :], (B, total_prefill))
 
-    cache = KVCache.init(dec_cfg, B, S_max, dtype=speech.dtype)
+    cache = KVCache.init(dec_cfg, B, S_max, dtype=speech.dtype,
+                         quantized=gen.kv_quant)
     cb = _adapter_callback(params, cfg, enc)
     logits, cache = llama_forward(
         params["decoder"], dec_cfg, inputs_embeds, position_ids,

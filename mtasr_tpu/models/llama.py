@@ -38,16 +38,37 @@ class KVCache:
     buffers (not one stacked array) so a decode step updates only its own
     layer's buffer via dynamic_update_slice — a stacked [L, ...] array would
     make XLA copy the whole stack on every `.at[layer].set`. `valid` is a
-    [B, S_max] key-validity mask (False = empty or padding slot)."""
+    [B, S_max] key-validity mask (False = empty or padding slot).
+
+    int8 mode (init(..., quantized=True)): k/v buffers are int8 with
+    per-(batch, position, head) symmetric scales in k_scale/v_scale
+    ([B, S_max, H_kv] f32). At long context the decode step is KV-bandwidth
+    bound (B=128, L~650: ~2.7 GB of KV reads/step vs 2.5 GB of weights), so
+    halving KV bytes attacks the dominant stream; scales add D/4 overhead
+    (6% at D=64). Dequant happens in-register inside the attention einsum —
+    it is loop-variant, so XLA cannot hoist-and-materialize it the way it
+    did the weight-only int8 dequant (DESIGN.md round 1)."""
     k: Tuple[jax.Array, ...]
     v: Tuple[jax.Array, ...]
     valid: jax.Array
+    k_scale: Optional[Tuple[jax.Array, ...]] = None
+    v_scale: Optional[Tuple[jax.Array, ...]] = None
 
     @classmethod
     def init(cls, cfg: LlamaConfig, batch: int, max_len: int,
-             dtype=jnp.bfloat16) -> "KVCache":
+             dtype=jnp.bfloat16, quantized: bool = False) -> "KVCache":
         shape = (batch, max_len, cfg.num_key_value_heads, cfg.head_dim_)
         n = cfg.num_hidden_layers
+        if quantized:
+            sshape = shape[:3]
+            return cls(
+                k=tuple(jnp.zeros(shape, jnp.int8) for _ in range(n)),
+                v=tuple(jnp.zeros(shape, jnp.int8) for _ in range(n)),
+                valid=jnp.zeros((batch, max_len), jnp.bool_),
+                k_scale=tuple(jnp.zeros(sshape, jnp.float32)
+                              for _ in range(n)),
+                v_scale=tuple(jnp.zeros(sshape, jnp.float32)
+                              for _ in range(n)))
         return cls(k=tuple(jnp.zeros(shape, dtype) for _ in range(n)),
                    v=tuple(jnp.zeros(shape, dtype) for _ in range(n)),
                    valid=jnp.zeros((batch, max_len), jnp.bool_))
@@ -57,8 +78,18 @@ class KVCache:
         return self.k[0].shape[1]
 
 
-jax.tree_util.register_dataclass(KVCache, data_fields=["k", "v", "valid"],
-                                 meta_fields=[])
+jax.tree_util.register_dataclass(
+    KVCache, data_fields=["k", "v", "valid", "k_scale", "v_scale"],
+    meta_fields=[])
+
+
+def _quantize_kv(x: jax.Array):
+    """[B, L, H, D] -> (int8 [B, L, H, D], scale f32 [B, L, H])."""
+    xf = x.astype(jnp.float32)
+    s = jnp.max(jnp.abs(xf), axis=-1) / 127.0
+    s = jnp.maximum(s, 1e-8)
+    q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
+    return q, s
 
 
 def init_llama_params(key: jax.Array, cfg: LlamaConfig,
@@ -169,14 +200,34 @@ def _attention(p: dict, cfg: LlamaConfig, x: jax.Array,
 
     if kv_cache is not None:
         buf_k, buf_v = kv_cache.k[layer_idx], kv_cache.v[layer_idx]
-        k_all = jax.lax.dynamic_update_slice(
-            buf_k, k.astype(buf_k.dtype), (0, cache_offset, 0, 0))
-        v_all = jax.lax.dynamic_update_slice(
-            buf_v, v.astype(buf_v.dtype), (0, cache_offset, 0, 0))
+        if kv_cache.k_scale is not None:
+            k8, ks = _quantize_kv(k)
+            v8, vs = _quantize_kv(v)
+            k_all = jax.lax.dynamic_update_slice(
+                buf_k, k8, (0, cache_offset, 0, 0))
+            v_all = jax.lax.dynamic_update_slice(
+                buf_v, v8, (0, cache_offset, 0, 0))
+            ks_all = jax.lax.dynamic_update_slice(
+                kv_cache.k_scale[layer_idx], ks, (0, cache_offset, 0))
+            vs_all = jax.lax.dynamic_update_slice(
+                kv_cache.v_scale[layer_idx], vs, (0, cache_offset, 0))
+            new_ks = (kv_cache.k_scale[:layer_idx] + (ks_all,)
+                      + kv_cache.k_scale[layer_idx + 1:])
+            new_vs = (kv_cache.v_scale[:layer_idx] + (vs_all,)
+                      + kv_cache.v_scale[layer_idx + 1:])
+            k_use = k_all.astype(x.dtype) * ks_all[..., None].astype(x.dtype)
+            v_use = v_all.astype(x.dtype) * vs_all[..., None].astype(x.dtype)
+        else:
+            k_all = jax.lax.dynamic_update_slice(
+                buf_k, k.astype(buf_k.dtype), (0, cache_offset, 0, 0))
+            v_all = jax.lax.dynamic_update_slice(
+                buf_v, v.astype(buf_v.dtype), (0, cache_offset, 0, 0))
+            new_ks, new_vs = kv_cache.k_scale, kv_cache.v_scale
+            k_use, v_use = k_all.astype(x.dtype), v_all.astype(x.dtype)
         new_k = kv_cache.k[:layer_idx] + (k_all,) + kv_cache.k[layer_idx + 1:]
         new_v = kv_cache.v[:layer_idx] + (v_all,) + kv_cache.v[layer_idx + 1:]
-        kv_cache = KVCache(k=new_k, v=new_v, valid=kv_cache.valid)
-        k_use, v_use = k_all.astype(x.dtype), v_all.astype(x.dtype)
+        kv_cache = KVCache(k=new_k, v=new_v, valid=kv_cache.valid,
+                           k_scale=new_ks, v_scale=new_vs)
     else:
         k_use, v_use = k, v
 
@@ -262,9 +313,9 @@ def llama_forward(
             return residual + _mlp(lp["mlp"], h), None
 
         if cfg.remat:
-            scan_layer = jax.checkpoint(
-                scan_layer,
-                policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims)
+            # full per-layer remat — see wavlm.py: the dots policy saves the
+            # stacked [L, B, T, intermediate] MLP activations and OOMs HBM
+            scan_layer = jax.checkpoint(scan_layer)
         stacked = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs),
             *[params["model"]["layers"][str(i)]
@@ -303,9 +354,7 @@ def llama_forward(
         if cfg.remat and kv_cache is None:
             # gradient checkpointing (reference supports_gradient_checkpointing;
             # here per-layer jax.checkpoint with matmul-output saving)
-            layer_fn = jax.checkpoint(
-                layer_fn,
-                policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims)
+            layer_fn = jax.checkpoint(layer_fn)
         hidden, kv_cache = layer_fn(lp, ll, hidden, kv_cache)
 
     hidden = rms_norm(hidden, params["model"]["norm"]["weight"], cfg.rms_norm_eps)

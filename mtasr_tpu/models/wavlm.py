@@ -315,9 +315,12 @@ def wavlm_encoder(p: dict, cfg: WavLMConfig, hidden: jax.Array,
             xs = stacked
 
         if cfg.remat:
-            scan_body = jax.checkpoint(
-                scan_body,
-                policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims)
+            # full per-layer remat (no policy): the dots-with-no-batch-dims
+            # policy saves EVERY matmul output, so the scan kept a stacked
+            # [L, B, T, 4*H] MLP intermediate (1.42 GB at flagship B=16) and
+            # OOM'd the 16 GB chip; saving only layer inputs costs one extra
+            # forward per layer in backward and caps memory at [L, B, T, H]
+            scan_body = jax.checkpoint(scan_body)
         hidden, _ = jax.lax.scan(scan_body, hidden, xs)
         if cfg.do_stable_layer_norm:
             hidden = layer_norm(p["layer_norm"], hidden, cfg.layer_norm_eps)
@@ -355,9 +358,7 @@ def wavlm_encoder(p: dict, cfg: WavLMConfig, hidden: jax.Array,
             return hidden
 
         if cfg.remat:
-            layer_fn = jax.checkpoint(
-                layer_fn,
-                policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims)
+            layer_fn = jax.checkpoint(layer_fn)
         hidden = layer_fn(lp, hidden)
 
     if cfg.do_stable_layer_norm:

@@ -108,7 +108,7 @@ def _flash_kernel(kv_len_ref, q_ref, k_ref, v_ref, pos_bias_ref, gate_ref,
         # is never trusted there)
         lse = m_scr[:, :1] + jnp.log(jnp.maximum(l_scr[:, :1], 1e-30))
         lse = jnp.where(l_scr[:, :1] == 0.0, NEG_INF, lse)
-        lse_ref[0] = lse[:, 0]
+        lse_ref[0, 0] = lse[:, 0]
 
 
 def _flash_forward(q, k, v, kv_lens, pos_bias, gate, scale, causal, q_offset,
@@ -168,7 +168,10 @@ def _flash_forward(q, k, v, kv_lens, pos_bias, gate, scale, causal, q_offset,
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, block_q, D), lambda bh, i, j, kv: (bh, i, 0)),
-            pl.BlockSpec((1, block_q), lambda bh, i, j, kv: (bh, i)),
+            # lse rides as [B*Hq, 1, T]: a (1, block_q) 2D block would need
+            # its sublane dim (1) divisible by 8 or equal to B*Hq — the 3D
+            # layout makes the last two block dims (1, block_q) legal
+            pl.BlockSpec((1, 1, block_q), lambda bh, i, j, kv: (bh, 0, i)),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -180,7 +183,7 @@ def _flash_forward(q, k, v, kv_lens, pos_bias, gate, scale, causal, q_offset,
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((B * Hq, T, D), q.dtype),
-                   jax.ShapeDtypeStruct((B * Hq, T), jnp.float32)],
+                   jax.ShapeDtypeStruct((B * Hq, 1, T), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
@@ -252,13 +255,13 @@ def _bwd_dq_kernel(kv_len_ref, q_ref, k_ref, v_ref, pos_bias_ref, gate_ref,
     g = gate_ref[0, 0, :].astype(jnp.float32) if with_bias else None
 
     i_abs0 = pl.program_id(1) * block_q + q_offset
-    p, valid = _recompute_p(q, k, lse_ref[0], kv_len, j, i_abs0, scale,
+    p, valid = _recompute_p(q, k, lse_ref[0, 0], kv_len, j, i_abs0, scale,
                             causal, with_bias, pb, g, block_q, block_k)
 
     do = do_ref[0]                                            # [bq, D]
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - delta_ref[0][:, None])                     # [bq, bk]
+    ds = p * (dp - delta_ref[0, 0][:, None])                  # [bq, bk]
     dq_scr[:] += jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
@@ -301,8 +304,8 @@ def _bwd_dkv_kernel(kv_len_ref, q_ref, k_ref, v_ref, pos_bias_ref, gate_ref,
     g = gate_ref[0, 0, :].astype(jnp.float32) if with_bias else None
 
     i_abs0 = i * block_q + q_offset
-    p, _ = _recompute_p(q, k, lse_ref[0], kv_len, j, i_abs0, scale, causal,
-                        with_bias, pb, g, block_q, block_k)
+    p, _ = _recompute_p(q, k, lse_ref[0, 0], kv_len, j, i_abs0, scale,
+                        causal, with_bias, pb, g, block_q, block_k)
 
     # ragged T tail: rows beyond q_len hold undefined block padding (their
     # lse/delta can be inf/NaN) and would otherwise pollute the dk/dv sums.
@@ -319,7 +322,7 @@ def _bwd_dkv_kernel(kv_len_ref, q_ref, k_ref, v_ref, pos_bias_ref, gate_ref,
         preferred_element_type=jnp.float32)                   # [bk, D]
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = jnp.where(q_ok, p * (dp - delta_ref[0][:, None]), 0.0)
+    ds = jnp.where(q_ok, p * (dp - delta_ref[0, 0][:, None]), 0.0)
     dk_scr[:] += jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale           # [bk, D]
@@ -355,12 +358,12 @@ def _bwd_dpb_kernel(kv_len_ref, q_ref, k_ref, v_ref, pos_bias_ref, gate_ref,
     g = gate_ref[0, 0, :].astype(jnp.float32)
 
     i_abs0 = pl.program_id(1) * block_q + q_offset
-    p, _ = _recompute_p(q, k, lse_ref[0], kv_len, j, i_abs0, scale, causal,
-                        True, pb, g, block_q, block_k)
+    p, _ = _recompute_p(q, k, lse_ref[0, 0], kv_len, j, i_abs0, scale,
+                        causal, True, pb, g, block_q, block_k)
     do = do_ref[0]
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - delta_ref[0][:, None])
+    ds = p * (dp - delta_ref[0, 0][:, None])
     dpb_scr[:] += g[:, None] * ds
 
     @pl.when(b == n_batch - 1)
@@ -383,7 +386,8 @@ def _flash_backward(q, k, v, kv_lens, pos_bias, gate, out, lse, g_out,
     do_f = g_out.transpose(0, 2, 1, 3).reshape(B * Hq, T, D)
     delta = jnp.sum(g_out.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1)                                  # [B, T, Hq]
-    delta_f = delta.transpose(0, 2, 1).reshape(B * Hq, T)
+    # [B*Hq, 1, T]: same 3D row layout as lse (legal TPU block tiling)
+    delta_f = delta.transpose(0, 2, 1).reshape(B * Hq, 1, T)
 
     if kv_lens is None:
         kv_lens_arr = jnp.full((B,), S, jnp.int32)
@@ -418,9 +422,11 @@ def _flash_backward(q, k, v, kv_lens, pos_bias, gate, out, lse, g_out,
                             lambda bh, j, i, kv: (to_kv(bh), j, 0))
 
     def row_spec(order, width):
+        # lse/delta are [B*Hq, 1, T]
         if order == "tq":
-            return pl.BlockSpec((1, width), lambda bh, i, j, kv: (bh, i))
-        return pl.BlockSpec((1, width), lambda bh, j, i, kv: (bh, i))
+            return pl.BlockSpec((1, 1, width),
+                                lambda bh, i, j, kv: (bh, 0, i))
+        return pl.BlockSpec((1, 1, width), lambda bh, j, i, kv: (bh, 0, i))
 
     def do_spec(order):
         if order == "tq":
@@ -524,10 +530,10 @@ def _flash_backward(q, k, v, kv_lens, pos_bias, gate, out, lse, g_out,
                          lambda h, i, j, b, kv: (h, i, j)),
             pl.BlockSpec((1, 1, block_q),
                          lambda h, i, j, b, kv: (b * Hq + h, 0, i)),
-            pl.BlockSpec((1, block_q),
-                         lambda h, i, j, b, kv: (b * Hq + h, i)),
-            pl.BlockSpec((1, block_q),
-                         lambda h, i, j, b, kv: (b * Hq + h, i)),
+            pl.BlockSpec((1, 1, block_q),
+                         lambda h, i, j, b, kv: (b * Hq + h, 0, i)),
+            pl.BlockSpec((1, 1, block_q),
+                         lambda h, i, j, b, kv: (b * Hq + h, 0, i)),
             pl.BlockSpec((1, block_q, D),
                          lambda h, i, j, b, kv: (b * Hq + h, i, 0)),
         ],

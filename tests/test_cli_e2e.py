@@ -56,6 +56,11 @@ def test_cli_pipeline(mini_dataset, tmp_path):
         "--learning_rate", "1e-3", "--warmup_steps", "1",
         "--logging_steps", "1", "--eval_steps", "100",
         "--save_steps", "2", "--max_steps", "3",
+        # dp_size 1: this host has ONE core emulating 8 virtual devices;
+        # 8-way SPMD of the 19M-param CLI model starves XLA:CPU's collective
+        # rendezvous (40 s timeout -> hard abort). Mesh execution itself is
+        # covered by test_train_round2::test_trainer_mesh_matches_single_device
+        "--dp_size", "1",
     ]
     finetune_main(common)
     final_dir = os.path.join(exp_dir, "final")
@@ -71,6 +76,7 @@ def test_cli_pipeline(mini_dataset, tmp_path):
         "--data_dir", os.path.join(mini_dataset, "train"),
         "--output_dir", dec_dir, "--batch_size", "2",
         "--max_duration_in_seconds", "2.0", "--max_length", "12",
+        "--dp_size", "1",
     ])
     for name in ("label", "decod", "wer"):
         assert os.path.exists(os.path.join(dec_dir, name)), name
@@ -84,6 +90,7 @@ def test_cli_pipeline(mini_dataset, tmp_path):
         "--data_dir", os.path.join(mini_dataset, "train"),
         "--output_dir", dec2, "--batch_size", "2", "--ctc_decoding",
         "--max_duration_in_seconds", "2.0", "--max_length", "12",
+        "--dp_size", "1",
     ])
     assert os.path.exists(os.path.join(dec2, "wer"))
 
@@ -96,6 +103,7 @@ def test_cli_pipeline(mini_dataset, tmp_path):
             "--output_dir", dec3, "--batch_size", "2",
             "--shard_index", str(shard), "--num_shards", "2",
             "--max_duration_in_seconds", "2.0", "--max_length", "8",
+            "--dp_size", "1",
         ])
     infer_main(["--model_name_or_path", final_dir,
                 "--data_dir", os.path.join(mini_dataset, "train"),

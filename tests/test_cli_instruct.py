@@ -37,7 +37,10 @@ def test_instruct_cli_pipeline(tmp_path):
         "--per_device_train_batch_size", "2",
         "--max_duration_in_seconds", "2.0", "--learning_rate", "1e-3",
         "--warmup_steps", "1", "--logging_steps", "1", "--save_steps", "5",
-        "--max_steps", "2", "--eval_steps", "100"])
+        "--max_steps", "2", "--eval_steps", "100",
+        # dp_size 1: see test_cli_e2e.py — one-core host, 8-way SPMD of this
+        # model trips XLA:CPU's 40 s collective rendezvous abort
+        "--dp_size", "1"])
     final = os.path.join(exp_dir, "final")
     assert os.path.exists(os.path.join(final, "model.safetensors"))
     assert os.path.exists(os.path.join(exp_dir, "metrics.jsonl"))

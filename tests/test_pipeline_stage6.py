@@ -26,11 +26,11 @@ def test_pipeline_stage6_sharded(tmp_path):
                    "--data_dir", str(d), "--init_random", "tiny",
                    "--talker_ctc", "--train_mode", "hybrid",
                    "--max_steps", "2", "--per_device_train_batch_size", "2",
-                   "--max_length", "6"])
+                   "--max_length", "6", "--dp_size", "1"])
     pipeline_main(["--stage", "6", "--stop_stage", "6", "--root", root,
                    "--data_dir", str(d), "--init_random", "tiny",
                    "--talker_ctc", "--train_mode", "hybrid",
-                   "--num_shards", "2", "--max_length", "6"])
+                   "--num_shards", "2", "--max_length", "6", "--dp_size", "1"])
     exp = os.path.join(root, "exp")
     run_name = os.listdir(exp)[0]
     dec = os.path.join(exp, run_name, "decode_stage6")

@@ -76,3 +76,31 @@ def test_w8a8_generate_runs():
     outq = generate(qparams, cfg, jnp.asarray(wav), jnp.asarray(amask),
                     max_new_tokens=6)
     assert np.asarray(outq.sequences).shape == (2, 6)
+
+
+def test_int8_kv_cache_roundtrip_error():
+    from mtasr_tpu.models.llama import _quantize_kv
+    rng = np.random.default_rng(3)
+    k = jnp.asarray(rng.standard_normal((2, 16, 4, 32)) * 3.0, jnp.float32)
+    q, s = _quantize_kv(k)
+    assert q.dtype == jnp.int8 and s.shape == (2, 16, 4)
+    deq = q.astype(jnp.float32) * s[..., None]
+    rel = float(jnp.linalg.norm(k - deq) / jnp.linalg.norm(k))
+    assert rel < 0.01, rel  # per-token-per-head scales: <1% round-trip error
+
+
+def test_int8_kv_generate_matches_bf16_shapes():
+    from mtasr_tpu.config import GenerationConfig
+    cfg = tiny_cfg(train_mode="attention")
+    params = init_model_params(jax.random.key(0), cfg)
+    wav, amask, _ = make_batch(cfg, B=2, seed=9)
+    out = generate(params, cfg, jnp.asarray(wav), jnp.asarray(amask),
+                   gen=GenerationConfig(do_sample=False), max_new_tokens=6)
+    outq = generate(params, cfg, jnp.asarray(wav), jnp.asarray(amask),
+                    gen=GenerationConfig(do_sample=False, kv_quant=True),
+                    max_new_tokens=6)
+    a, b = np.asarray(out.sequences), np.asarray(outq.sequences)
+    assert b.shape == a.shape
+    # greedy decode under <1% KV error on a random-init model: most tokens
+    # should agree (exact equality is not guaranteed at near-tie logits)
+    assert (a == b).mean() >= 0.5, (a, b)
