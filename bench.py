@@ -30,7 +30,10 @@ def _decode_rtfx(jax, jnp, cfg, params, B, secs, max_new, kv_quant=False):
     def run():
         out = generate(params, cfg, wav, amask, gen=gen,
                        max_new_tokens=max_new)
-        out.sequences.block_until_ready()
+        # fetch to host (tiny [B, max_new] int32): on the remote-tunneled
+        # TPU runtime block_until_ready alone can return before execution
+        # completes, silently inflating throughput; a value fetch cannot
+        np.asarray(out.sequences)
 
     run()  # compile
     n_iters = 3
@@ -93,12 +96,12 @@ def _train_throughput(jax, jnp, cfg, params, B, secs):
     step = make_train_step(cfg, tc, opt, trainable_mask=mask, donate=True)
     state = opt.init(params)
     p, s, m = step(params, state, batch, jax.random.key(0))  # compile
-    jax.block_until_ready((p, s, m))
+    float(m["loss"])
     n_iters = 3
     t0 = time.perf_counter()
     for i in range(n_iters):
         p, s, m = step(p, s, batch, jax.random.key(i))
-        jax.block_until_ready((p, s, m))
+        float(m["loss"])     # host fetch: see _decode_rtfx timing note
     dt = (time.perf_counter() - t0) / n_iters
     return B / dt
 

@@ -68,6 +68,9 @@ class WavLMConfig:
     # lax.scan over stacked layers 1..N-1 (layer 0 stays unrolled — it owns
     # the rel-pos bias table): one compiled layer body instead of N
     scan_layers: bool = False
+    # conv frontend backend: "xla" (conv_general_dilated) or "matmul"
+    # (tap-decomposed MXU matmuls — see layers.py::conv1d)
+    conv_impl: str = "xla"
 
     @property
     def out_hidden(self) -> int:

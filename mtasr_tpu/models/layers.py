@@ -120,17 +120,36 @@ def conv1d_init(key, in_dim: int, out_dim: int, kernel: int,
 
 
 def conv1d(p: dict, x_btc: jax.Array, stride: int = 1, padding: int = 0,
-           groups: int = 1) -> jax.Array:
+           groups: int = 1, impl: str = "xla") -> jax.Array:
     """Conv over time. x: [B, T, C] -> [B, T', C_out]; weight in torch layout
-    [out, in/groups, k]."""
+    [out, in/groups, k].
+
+    impl="matmul": tap-decomposed MXU formulation — K strided slices, each a
+    plain [B*T', C_in] x [C_in, C_out] matmul, accumulated. Same math
+    (f32 accumulation either way); lets XLA schedule the conv as K large
+    matmuls when its native conv tiling underutilizes the MXU. Grouped
+    convs (the rel-pos embedding) always use the native path."""
     w = p["weight"].astype(x_btc.dtype)
-    y = jax.lax.conv_general_dilated(
-        x_btc, jnp.transpose(w, (2, 1, 0)),              # [k, in/groups, out]
-        window_strides=(stride,),
-        padding=[(padding, padding)],
-        dimension_numbers=("NHC", "HIO", "NHC"),
-        feature_group_count=groups,
-    )
+    if impl == "matmul" and groups == 1:
+        if padding:
+            x_btc = jnp.pad(x_btc, ((0, 0), (padding, padding), (0, 0)))
+        B, T, C = x_btc.shape
+        O, _, K = w.shape
+        Tp = (T - K) // stride + 1
+        y = None
+        for k in range(K):
+            xs = jax.lax.slice_in_dim(
+                x_btc, k, k + (Tp - 1) * stride + 1, stride=stride, axis=1)
+            t = jnp.einsum("btc,oc->bto", xs, w[:, :, k])
+            y = t if y is None else y + t
+    else:
+        y = jax.lax.conv_general_dilated(
+            x_btc, jnp.transpose(w, (2, 1, 0)),          # [k, in/groups, out]
+            window_strides=(stride,),
+            padding=[(padding, padding)],
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=groups,
+        )
     if "bias" in p:
         y = y + p["bias"].astype(x_btc.dtype)
     return y

@@ -172,7 +172,7 @@ def feature_encoder(p: dict, cfg: WavLMConfig, input_values: jax.Array) -> jax.A
     x = input_values[:, :, None]  # [B, S, 1]
     for i, (k, s) in enumerate(zip(cfg.conv_kernel, cfg.conv_stride)):
         lp = p["conv_layers"][str(i)]
-        x = conv1d(lp["conv"], x, stride=s)
+        x = conv1d(lp["conv"], x, stride=s, impl=cfg.conv_impl)
         if cfg.feat_extract_norm == "layer":
             x = layer_norm(lp["layer_norm"], x)
         elif cfg.feat_extract_norm == "group" and i == 0:
@@ -376,7 +376,8 @@ def wavlm_adapter(p: dict, cfg: WavLMConfig, hidden: jax.Array):
     pad = cfg.adapter_kernel_size // 2
     for i in range(cfg.num_adapter_layers):
         h = conv1d(p["layers"][str(i)]["conv"], hidden,
-                   stride=cfg.adapter_stride, padding=pad)
+                   stride=cfg.adapter_stride, padding=pad,
+                   impl=cfg.conv_impl)
         a, b = jnp.split(h, 2, axis=-1)
         hidden = a * jax.nn.sigmoid(b)
         if i == 1:

@@ -107,3 +107,18 @@ def test_attention_matches_torch_sdpa(hq, hkv):
         enable_gqa=(hq != hkv))
     ref = ref.permute(0, 2, 1, 3).numpy()
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-5)
+
+
+def test_conv1d_matmul_impl_matches_xla():
+    from mtasr_tpu.models.layers import conv1d
+    rng = np.random.default_rng(11)
+    for (T, C, O, K, S, pad) in [(101, 8, 16, 3, 2, 0), (57, 1, 8, 10, 5, 0),
+                                 (64, 8, 16, 3, 2, 1)]:
+        p = {"weight": jnp.asarray(rng.standard_normal((O, C, K)), jnp.float32),
+             "bias": jnp.asarray(rng.standard_normal(O), jnp.float32)}
+        x = jnp.asarray(rng.standard_normal((2, T, C)), jnp.float32)
+        y1 = conv1d(p, x, stride=S, padding=pad, impl="xla")
+        y2 = conv1d(p, x, stride=S, padding=pad, impl="matmul")
+        assert y1.shape == y2.shape
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                   rtol=1e-5, atol=1e-5)
