@@ -48,6 +48,13 @@ def build_argparser():
     p.add_argument("--merge", action="store_true",
                    help="merge per-shard decod files and score")
     p.add_argument("--char_mode", action="store_true")
+    p.add_argument("--quantize", type=str, default="none",
+                   choices=["none", "w8", "w8a8"],
+                   help="decoder weight quantization for serving (w8a8 = "
+                        "true int8 MXU matmuls)")
+    p.add_argument("--kv_quant", action="store_true",
+                   help="int8 KV cache (per-token-per-head scales); halves "
+                        "the dominant HBM stream of long-context decode")
     return p
 
 
@@ -91,6 +98,16 @@ def main(argv=None):
     if args.instruct:
         cfg.instruct = True
 
+    # quantize BEFORE mesh sharding (quantization round-trips through host
+    # numpy, which would drop NamedShardings applied below)
+    if args.quantize != "none":
+        from mtasr_tpu.utils.quantize import quantize_decoder_for_serving
+        if "decoder_lora" in params:        # fold LoRA before quantizing
+            from mtasr_tpu.train.lora import merge_decoder_lora
+            params = merge_decoder_lora(params)
+        params = quantize_decoder_for_serving(params, mode=args.quantize)
+        logger.info("quantized decoder for serving: %s", args.quantize)
+
     # device mesh (reference inference_asr_gpus.py shards at the *process*
     # level over NCCL; here one process drives a dp x tp mesh, and
     # --shard_index/--num_shards still splits work across hosts)
@@ -131,7 +148,7 @@ def main(argv=None):
     gen = GenerationConfig(max_length=args.max_length,
                            do_sample=args.do_sample,
                            temperature=args.temperature, top_k=args.top_k,
-                           top_p=args.top_p)
+                           top_p=args.top_p, kv_quant=args.kv_quant)
 
     label_f = open(os.path.join(args.output_dir,
                                 f"label.{args.shard_index}"), "w")

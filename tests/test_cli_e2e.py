@@ -94,6 +94,18 @@ def test_cli_pipeline(mini_dataset, tmp_path):
     ])
     assert os.path.exists(os.path.join(dec2, "wer"))
 
+    # int8 serving path (w8a8 decoder + int8 KV cache) through the same CLI
+    dec4 = str(tmp_path / "decode_int8")
+    infer_main([
+        "--model_name_or_path", final_dir,
+        "--data_dir", os.path.join(mini_dataset, "train"),
+        "--output_dir", dec4, "--batch_size", "2",
+        "--quantize", "w8a8", "--kv_quant",
+        "--max_duration_in_seconds", "2.0", "--max_length", "12",
+        "--dp_size", "1",
+    ])
+    assert os.path.exists(os.path.join(dec4, "wer"))
+
     # sharded inference + merge (multi-host pattern)
     dec3 = str(tmp_path / "decode_sharded")
     for shard in (0, 1):
