@@ -4,17 +4,44 @@ chip) for batched KV-cached greedy decoding on the flagship configuration
 jax.devices() provides (real v5e chip under the driver).
 
 Anchored to the reference's decode config: greedy, max_length=150
-(inference_asr.py:187; round-1 bench used 50 new tokens which inflated RTFx
-— VERDICT.md weak #3). Also reports training throughput (samples/s/chip for
-the full hybrid+PCGrad train step) in the same JSON line under "extras".
+(inference_asr.py:187). Budget-safe by construction (round-2 bench grew
+three expensive phases, blew the driver timeout and lost everything —
+VERDICT r2 weak #1): the headline RTFx JSON line is printed-and-flushed
+the moment the decode phase finishes; every extra phase is time-boxed
+against an internal deadline and, when it completes, the full JSON line
+is re-printed (the driver's tail-parse picks up the last line; a timeout
+mid-extras still leaves the headline line in the tail).
 
-Baseline target (BASELINE.md): >50x real-time per chip. Prints exactly one
-JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
+Baseline target (BASELINE.md): >50x real-time per chip. Output lines are
+each a complete JSON object of the required shape.
 """
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+T_START = time.perf_counter()
+# internal wall budget; the driver's external timeout is unknown but a
+# timeout mid-extras is survivable (the headline line is already flushed),
+# so this only controls how greedy the extra phases are.
+BUDGET_S = float(os.environ.get("MTASR_BENCH_BUDGET_S", "900"))
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.perf_counter() - T_START)
+
+
+def _emit(rtfx: float, extras: dict) -> None:
+    baseline = 50.0  # >50x real-time target per chip (BASELINE.md)
+    print(json.dumps({
+        "metric": "batched_greedy_decode_rtfx",
+        "value": round(rtfx, 2),
+        "unit": "audio_s_per_s_per_chip",
+        "vs_baseline": round(rtfx / baseline, 3),
+        "extras": extras,
+    }), flush=True)
 
 
 def _decode_rtfx(jax, jnp, cfg, params, B, secs, max_new, kv_quant=False):
@@ -108,6 +135,15 @@ def _train_throughput(jax, jnp, cfg, params, B, secs):
 
 def main():
     import jax
+    # Persistent compilation cache: the tunneled TPU runtime's remote
+    # compile is slow (measured 111 s for a trivial program on a slow day;
+    # ~300 s for the generate program) and was the root cause of the round-2
+    # bench timeout. A warm cache turns every recompile into a ~1 s load
+    # (measured 111 s -> 21 s including backend init).
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
 
     from mtasr_tpu.config import (
@@ -141,51 +177,63 @@ def main():
     cfg = SpeechEncoderDecoderConfig(
         encoder=enc, decoder=dec, train_mode="attention", talker_ctc=False,
         **specials)
-    params = tree_cast(init_model_params(jax.random.key(0), cfg), jnp.bfloat16)
+    # ONE jitted init program: eager per-tensor init dispatches hundreds of
+    # ops through the remote-compile tunnel (measured: 10 s jitted vs 7+ min
+    # eager on the tunneled chip — a likely contributor to the r2 timeout)
+    init_jit = jax.jit(
+        lambda k, cfg: tree_cast(init_model_params(k, cfg), jnp.bfloat16),
+        static_argnames=("cfg",))
+    params = init_jit(jax.random.key(0), cfg)
+    jax.block_until_ready(params)
 
     rtfx = _decode_rtfx(jax, jnp, cfg, params, B, secs, max_new)
-
     extras = {"max_new_tokens": max_new, "batch": B, "audio_secs": secs}
-    try:
-        # int8 serving path: w8a8 decoder weights + int8 KV cache — together
-        # they halve both dominant HBM streams of the decode step
-        from mtasr_tpu.utils.quantize import quantize_decoder_for_serving
-        qparams = quantize_decoder_for_serving(params, mode="w8a8")
-        extras["rtfx_int8"] = round(_decode_rtfx(
-            jax, jnp, cfg, qparams, B, secs, max_new, kv_quant=True), 2)
-    except Exception as e:
-        extras["int8_bench_error"] = str(e)[:200]
-    try:
-        from mtasr_tpu.config import (
-            SpeechEncoderDecoderConfig as SED,
-        )
-        tcfg = SED(encoder=enc, decoder=dec, train_mode="hybrid",
-                   talker_ctc=True, talker_numbers=2,
-                   separator_hidden=896 if on_tpu else 24, **specials)
-        # flagship training settings: one compiled layer body (halves the
-        # remote compile, round-1 measured 182-230 s unrolled vs 98 s) +
-        # per-layer remat (fits B=16 x 10 s hybrid on the 16 GB chip)
-        tcfg.encoder.scan_layers = True
-        tcfg.decoder.scan_layers = True
-        tcfg.encoder.remat = True
-        tcfg.decoder.remat = True
-        tparams = tree_cast(init_model_params(jax.random.key(1), tcfg),
-                            jnp.bfloat16)
-        extras["train_samples_per_s"] = round(
-            _train_throughput(jax, jnp, tcfg, tparams, train_B,
-                              secs if on_tpu else 2), 2)
-    except Exception as e:  # keep the headline metric robust
-        extras["train_bench_error"] = str(e)[:200]
+    _emit(rtfx, extras)   # HEADLINE OUT — everything below is time-boxed
 
-    baseline = 50.0  # >50x real-time target per chip (BASELINE.md)
-    print(json.dumps({
-        "metric": "batched_greedy_decode_rtfx",
-        "value": round(rtfx, 2),
-        "unit": "audio_s_per_s_per_chip",
-        "vs_baseline": round(rtfx / baseline, 3),
-        "extras": extras,
-    }))
+    # -- extra 1: flagship train-step throughput (hybrid+PCGrad+LoRA) -------
+    # remote compile of this step measured at ~98 s (scan) in round 1;
+    # budget ~compile + 3 timed steps
+    if _remaining() > 220:
+        try:
+            tcfg = SpeechEncoderDecoderConfig(
+                encoder=enc, decoder=dec, train_mode="hybrid",
+                talker_ctc=True, talker_numbers=2,
+                separator_hidden=896 if on_tpu else 24, **specials)
+            # flagship training settings: one compiled layer body (halves
+            # the remote compile) + per-layer remat (fits B=16 x 10 s
+            # hybrid on the 16 GB chip)
+            tcfg.encoder.scan_layers = True
+            tcfg.decoder.scan_layers = True
+            tcfg.encoder.remat = True
+            tcfg.decoder.remat = True
+            tparams = init_jit(jax.random.key(1), tcfg)
+            jax.block_until_ready(tparams)
+            extras["train_samples_per_s"] = round(
+                _train_throughput(jax, jnp, tcfg, tparams, train_B,
+                                  secs if on_tpu else 2), 2)
+        except Exception as e:  # keep the headline metric robust
+            extras["train_bench_error"] = str(e)[:200]
+        _emit(rtfx, extras)
+    else:
+        extras["train_bench_skipped"] = (
+            f"remaining budget {_remaining():.0f}s < 220s")
+        _emit(rtfx, extras)
+
+    # -- extra 2: int8 serving path (w8a8 weights + int8 KV cache) ----------
+    if _remaining() > 150:
+        try:
+            from mtasr_tpu.utils.quantize import quantize_decoder_for_serving
+            qparams = quantize_decoder_for_serving(params, mode="w8a8")
+            extras["rtfx_int8"] = round(_decode_rtfx(
+                jax, jnp, cfg, qparams, B, secs, max_new, kv_quant=True), 2)
+        except Exception as e:
+            extras["int8_bench_error"] = str(e)[:200]
+        _emit(rtfx, extras)
+    else:
+        extras["int8_bench_skipped"] = (
+            f"remaining budget {_remaining():.0f}s < 150s")
+        _emit(rtfx, extras)
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

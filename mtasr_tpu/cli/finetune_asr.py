@@ -172,11 +172,15 @@ def main(argv=None):
     eval_refs = {u.utt_id: (u.text.lower() if dc.do_lower_case else u.text)
                  for u in eval_utts}
 
-    def train_iter():
+    def train_iter(epoch: int = 0):
+        # per-epoch reshuffle seeded by (seed, epoch) — NOT by resume step,
+        # so a mid-epoch resume replays the identical shuffle and the
+        # Trainer's batch skipping reproduces the uninterrupted data order
+        # (HF set_epoch + skip_first_batches semantics)
         return batches_from_examples(
             train_ex, cfg, dc, global_batch, training=True,
             pad_partial=True,   # DDP sampler padding: small datasets still
-            seed=tc.seed + trainer.state.step)  # fill a dp-wide batch
+            seed=tc.seed + epoch)           # fill a dp-wide batch
 
     def eval_iter():
         return batches_from_examples(

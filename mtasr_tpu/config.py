@@ -299,7 +299,9 @@ class SpeechEncoderDecoderConfig:
             if any(s is None or s < 0 for s in specials):
                 err.append("instruct=True requires all six instruct special "
                            "token ids (create_from_pretrained wires them)")
-            if max(specials) >= self.decoder.vocab_size:
+            # None ids are already reported above; max() over mixed
+            # int/None would raise TypeError before our ValueError
+            elif max(specials) >= self.decoder.vocab_size:
                 err.append(f"instruct special id {max(specials)} >= decoder "
                            f"vocab {self.decoder.vocab_size}; resize vocab")
         if err:

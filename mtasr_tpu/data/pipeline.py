@@ -97,13 +97,36 @@ def prepare_example(utt: Utterance, tokenizer, dc: DataConfig,
                            wav_path=utt.wav_path if lazy else None)
 
 
-# module-level worker so multiprocessing can pickle it
+# module-level worker state so multiprocessing can pickle the worker fn;
+# populated in each worker by the Pool initializer (spawn-safe: module
+# globals set in the parent do not survive a spawn start)
 _PREP_CTX: dict = {}
+
+
+def _prep_init(tokenizer, dc, instruct, lazy):
+    _PREP_CTX.update(tokenizer=tokenizer, dc=dc, instruct=instruct,
+                     lazy=lazy)
 
 
 def _prep_worker(utt):
     return prepare_example(utt, _PREP_CTX["tokenizer"], _PREP_CTX["dc"],
                            _PREP_CTX["instruct"], lazy=_PREP_CTX["lazy"])
+
+
+def _cache_fingerprint(tokenizer, dc: DataConfig, instruct: bool) -> dict:
+    """Settings that change prepared labels/durations — a cache written
+    under one config must not be served under another (ADVICE r2)."""
+    tok_id = (getattr(tokenizer, "name_or_path", None)
+              or type(tokenizer).__name__)
+    return {
+        "tokenizer": str(tok_id),
+        "vocab_size": int(getattr(tokenizer, "vocab_size", 0) or 0),
+        "sampling_rate": dc.sampling_rate,
+        "min_duration_in_seconds": dc.min_duration_in_seconds,
+        "max_duration_in_seconds": dc.max_duration_in_seconds,
+        "do_lower_case": dc.do_lower_case,
+        "instruct": bool(instruct),
+    }
 
 
 def prepare_examples(
@@ -115,25 +138,37 @@ def prepare_examples(
     the reference's datasets.map(num_proc=...) + arrow cache pattern
     (finetune_asr.py:147-154, vectorized_dataset_utils.py:26-124)."""
     import json
+    import logging
     import os
+    fp = _cache_fingerprint(tokenizer, dc, instruct)
     if cache_path and os.path.exists(cache_path):
         out = []
+        stale = False
         with open(cache_path) as f:
-            for line in f:
-                d = json.loads(line)
-                out.append(PreparedExample(
-                    d["utt_id"], None, d["labels"], d["prompt_ids"],
-                    d["n_samples"], wav_path=d["wav_path"]))
-        return out
+            header = json.loads(f.readline() or "{}")
+            if header.get("__fingerprint__") != fp:
+                stale = True  # old-format or different config: rebuild
+            else:
+                for line in f:
+                    d = json.loads(line)
+                    out.append(PreparedExample(
+                        d["utt_id"], None, d["labels"], d["prompt_ids"],
+                        d["n_samples"], wav_path=d["wav_path"]))
+        if not stale:
+            return out
+        logging.getLogger("mtasr_tpu.data").warning(
+            "preprocessing cache %s was written under a different "
+            "tokenizer/data config; rebuilding", cache_path)
 
     if num_proc > 1:
         import multiprocessing as mp
-        ctx = mp.get_context("fork")
-        _PREP_CTX.update(tokenizer=tokenizer, dc=dc, instruct=instruct,
-                         lazy=lazy)
-        with ctx.Pool(num_proc) as pool:
+        # spawn, not fork: the CLIs initialize JAX (multithreaded) before
+        # preprocessing, and forking a threaded process can deadlock
+        # (ADVICE r2). Worker state travels via the initializer.
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(num_proc, initializer=_prep_init,
+                      initargs=(tokenizer, dc, instruct, lazy)) as pool:
             prepared = pool.map(_prep_worker, list(utts), chunksize=64)
-        _PREP_CTX.clear()
     else:
         prepared = [prepare_example(u, tokenizer, dc, instruct, lazy=lazy)
                     for u in utts]
@@ -142,6 +177,7 @@ def prepare_examples(
     if cache_path and lazy:
         tmp = cache_path + ".tmp"
         with open(tmp, "w") as f:
+            f.write(json.dumps({"__fingerprint__": fp}) + "\n")
             for e in out:
                 f.write(json.dumps({
                     "utt_id": e.utt_id, "labels": list(map(int, e.labels)),
@@ -244,19 +280,23 @@ def batches_from_examples(
     """
     rng = np.random.default_rng(seed)
     examples = examples[shard_index::num_shards]
-    # group by audio bucket so every batch has one static audio shape
-    by_bucket: Dict[int, List[PreparedExample]] = {}
+    # group by (audio bucket, prompt length) so every batch has one static
+    # audio shape AND one prompt layout — batched decode splices speech at
+    # a single prompt position, so mixing prompt lengths in one batch would
+    # mis-splice the shorter rows (the reference avoids this by decoding
+    # per-sample, inference_asr.py:171-217)
+    by_bucket: Dict[tuple, List[PreparedExample]] = {}
     for e in examples:
-        by_bucket.setdefault(bucket_length(e.n_samples, dc), []).append(e)
+        key = (bucket_length(e.n_samples, dc), len(e.prompt_ids))
+        by_bucket.setdefault(key, []).append(e)
     order = []
     for bucket, group in sorted(by_bucket.items()):
         idx = np.arange(len(group))
         if shuffle:
             rng.shuffle(idx)
-        step = batch_size if (not drop_last or pad_partial) else batch_size
         lo_stop = (len(group) if (not drop_last or pad_partial)
                    else len(group) - (batch_size - 1))
-        for i in range(0, max(lo_stop, 0), step):
+        for i in range(0, max(lo_stop, 0), batch_size):
             chunk = [group[j] for j in idx[i:i + batch_size]]
             if len(chunk) < batch_size:
                 if drop_last and not pad_partial:

@@ -28,9 +28,12 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mtasr_tpu.config import GenerationConfig, SpeechEncoderDecoderConfig
-from mtasr_tpu.models.llama import KVCache, embed_tokens, llama_forward
+from mtasr_tpu.models.llama import (
+    KVCache, embed_tokens, llama_forward, lm_head,
+)
 from mtasr_tpu.models.speech_encoder_decoder import (
     EncodedSpeech, _adapter_callback, encode_speech, forward_ctc,
 )
@@ -93,22 +96,48 @@ def _generate_impl(params, cfg: SpeechEncoderDecoderConfig,
         enc.encoder_attention_mask,
         jnp.ones((B, Lp - splice_index), jnp.bool_),
     ], axis=1)
-    position_ids = jnp.broadcast_to(
-        jnp.arange(total_prefill)[None, :], (B, total_prefill))
+    # Per-row position compaction: the reference decodes one utterance at a
+    # time (inference_asr.py:171-217), so a row's suffix/generated tokens
+    # sit immediately after its TRUE speech length. In a padded batch the
+    # speech block is Ts frames for every row (valid frames first, padding
+    # tail); masking hides padded keys' content but not the position shift
+    # — so suffix positions are compacted per row (idx - Ts + n_valid),
+    # making batched decode token-identical to per-sample decode
+    # (test_reference_ab.py::test_generate_parity_*).
+    n_valid = jnp.sum(enc.encoder_attention_mask.astype(jnp.int32), axis=1)
+    idx = jnp.arange(total_prefill, dtype=jnp.int32)[None, :]
+    position_ids = jnp.where(idx < splice_index + Ts, idx,
+                             idx - Ts + n_valid[:, None])
 
     cache = KVCache.init(dec_cfg, B, S_max, dtype=speech.dtype,
                          quantized=gen.kv_quant)
     cb = _adapter_callback(params, cfg, enc)
-    logits, cache = llama_forward(
-        params["decoder"], dec_cfg, inputs_embeds, position_ids,
-        key_valid_mask=key_valid, kv_cache=cache, cache_offset=0,
-        layer_callback=cb, logits_to_keep=1)
+    if Lp > splice_index:
+        # suffix tokens (<eoss><bosr>) follow the speech block: the last
+        # real element is the last suffix token — same index for all rows
+        logits, cache = llama_forward(
+            params["decoder"], dec_cfg, inputs_embeds, position_ids,
+            key_valid_mask=key_valid, kv_cache=cache, cache_offset=0,
+            layer_callback=cb, logits_to_keep=1)
+        last_logits = logits[:, -1]
+    else:
+        # non-instruct ([BOS | speech]): the last real element is the last
+        # VALID speech frame, which differs per row in a padded batch —
+        # gather it, then lm_head on just those rows (the reference decodes
+        # per-sample so its last position is always the true one)
+        hidden, cache = llama_forward(
+            params["decoder"], dec_cfg, inputs_embeds, position_ids,
+            key_valid_mask=key_valid, kv_cache=cache, cache_offset=0,
+            layer_callback=cb, compute_logits=False)
+        last_idx = (splice_index + n_valid - 1).astype(jnp.int32)
+        h_last = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)
+        last_logits = lm_head(params["decoder"], dec_cfg, h_last)[:, 0]
 
     eos_id = cfg.eos_token_id
     pad_id = cfg.pad_token_id
 
     rng0, rng = (jax.random.split(rng) if rng is not None else (None, None))
-    first_tok = _sample_token(logits[:, -1], gen, rng0)
+    first_tok = _sample_token(last_logits, gen, rng0)
     out0 = jnp.full((B, max_new_tokens), pad_id, jnp.int32)
     out0 = out0.at[:, 0].set(first_tok.astype(jnp.int32))
     done0 = first_tok == eos_id
@@ -122,8 +151,9 @@ def _generate_impl(params, cfg: SpeechEncoderDecoderConfig,
         emb_t = embed_tokens(params["decoder"], dec_cfg, cur_tok[:, None],
                              dtype=speech.dtype)
         # cur_tok was generated at step t-1 -> absolute position
-        # total_prefill + t - 1 (speech frames occupy cache slots like tokens)
-        pos_t = jnp.full((B, 1), total_prefill - 1) + t
+        # Lp + n_valid + t - 1 per row (speech frames occupy cache slots
+        # like tokens; positions use the row's true speech length)
+        pos_t = (Lp + n_valid)[:, None] - 1 + t
         logits_t, cache = llama_forward(
             params["decoder"], dec_cfg, emb_t, pos_t,
             kv_cache=cache, cache_offset=total_prefill + t - 1,
@@ -176,6 +206,23 @@ def generate(params, cfg: SpeechEncoderDecoderConfig,
     if cfg.instruct:
         if prompt_ids is None:
             raise ValueError("instruct mode requires prompt_ids")
+        # batched decode uses ONE prompt layout for the whole batch (the
+        # reference decodes per-sample, inference_asr.py:171-217, so any
+        # mix of prompts is honored there). A padded shorter prompt would
+        # be silently mis-spliced — detect and refuse. The pipeline groups
+        # batches by prompt length (batches_from_examples) so real decode
+        # runs never trip this.
+        tail = np.asarray(prompt_ids[:, -3:])
+        expected = np.asarray([cfg.boss_token_id, cfg.eoss_token_id,
+                               cfg.bosr_token_id])
+        if not (tail == expected[None, :]).all():
+            bad = np.nonzero(~(tail == expected[None, :]).all(axis=1))[0]
+            raise ValueError(
+                "heterogeneous prompt layouts in one batch: rows "
+                f"{bad.tolist()} do not end with <boss><eoss><bosr> — "
+                "group the batch by prompt length (the data pipeline's "
+                "batches_from_examples does this) or decode them "
+                "separately")
         prefill_ids = jnp.concatenate([bos, prompt_ids.astype(jnp.int32)], axis=1)
         # [BOS bosp prompt(P) eosp boss | eoss bosr]: splice after <boss>
         splice_index = int(prefill_ids.shape[1]) - 2

@@ -147,6 +147,20 @@ def _proj_to_decoder(params: dict, x: jax.Array) -> jax.Array:
     return x
 
 
+def align_mask_len(mask: jax.Array, t_target: int) -> jax.Array:
+    """Match a [B, T] mask to t_target frames the way the reference does
+    (modeling_speech_encoder_decoder_llama.py:76-84): truncate when longer,
+    pad by repeating the last column when shorter (the last column is
+    normally already padding/0, so the repeat extends the padded tail)."""
+    t = mask.shape[1]
+    if t == t_target:
+        return mask
+    if t > t_target:
+        return mask[:, :t_target]
+    pad = jnp.repeat(mask[:, -1:], t_target - t, axis=1)
+    return jnp.concatenate([mask, pad], axis=1)
+
+
 # ---------------------------------------------------------------------------
 # encode (shared by training forward, generate prefill, and forward_ctc)
 # ---------------------------------------------------------------------------
@@ -197,12 +211,8 @@ def encode_speech(
         x_ref, _ = wavlm_adapter(params["encoder"]["adapter"], cfg.encoder, x_ref)
         encoder_hidden_states = _proj_to_decoder(params, x_ref)
         rep = jnp.tile(enc_mask, (1, cfg.talker_numbers))
-        Ts = encoder_hidden_states.shape[1]
-        if rep.shape[1] >= Ts:
-            encoder_attention_mask = rep[:, :Ts]
-        else:
-            pad = jnp.repeat(rep[:, -1:], Ts - rep.shape[1], axis=1)
-            encoder_attention_mask = jnp.concatenate([rep, pad], axis=1)
+        encoder_attention_mask = align_mask_len(
+            rep, encoder_hidden_states.shape[1])
     elif cfg.ctc_bridge and cfg.ctc_bridge_type == "softmax":
         # soft per-speaker routing of the mixed 50 Hz features, concat K
         # streams along time (CTCPerSpeakerExtractorConcatSoftmax; the
@@ -246,7 +256,9 @@ def encode_speech(
             acoustic_pad = ~mask_x0
         elif feat == "sep":
             acoustic_mem = jnp.concatenate(sep_hidden, axis=1)
-            acoustic_pad = ~jnp.tile(mask_x0, (1, cfg.talker_numbers))
+            acoustic_pad = ~align_mask_len(
+                jnp.tile(mask_x0, (1, cfg.talker_numbers)),
+                acoustic_mem.shape[1])  # reference 616-618
         elif feat == "ctctoken":
             acoustic_mem, acoustic_pad, acoustic_conf = ctc_token_builder(
                 sep_hidden, mask_x0, _ctc_head_list(params, cfg),

