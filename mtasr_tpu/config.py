@@ -142,6 +142,13 @@ class LlamaConfig:
     # flagship train-step compile time drastically at the cost of one
     # parameter restack per step (negligible vs step time)
     scan_layers: bool = False
+    # decode-step (L=1, KV-cached) attention implementation:
+    #   "pallas" — fused Pallas kernel reading the merged-lane cache in its
+    #              native layout (no transposed cache copies; ~5x decode-step
+    #              attention win at B=128, see ops/pallas/decode_attention.py)
+    #   "xla"    — plain einsum attention (always used on CPU, for int8 KV,
+    #              and for unsupported head geometries)
+    decode_attn_impl: str = "pallas"
 
     @property
     def head_dim_(self) -> int:

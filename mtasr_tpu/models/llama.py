@@ -188,6 +188,12 @@ def _lora_linear(p_entry: dict, x: jax.Array, ab: Optional[dict],
 _LORA_RNG_FOLD = {"q_proj": 0, "k_proj": 1, "v_proj": 2, "o_proj": 3}
 
 
+def _decode_attn_ok(cfg: LlamaConfig) -> bool:
+    from mtasr_tpu.ops.pallas.decode_attention import supported
+    return supported(cfg.num_attention_heads, cfg.num_key_value_heads,
+                     cfg.head_dim_)
+
+
 def _attention(p: dict, cfg: LlamaConfig, x: jax.Array,
                cos: jax.Array, sin: jax.Array,
                mask: Optional[jax.Array],
@@ -255,8 +261,26 @@ def _attention(p: dict, cfg: LlamaConfig, x: jax.Array,
     else:
         k_use, v_use = k, v
 
-    out = dot_product_attention(q, k_use, v_use, mask=mask,
-                                scale=D ** -0.5)
+    # Decode-step fast path: fused Pallas attention reading the merged-lane
+    # cache buffers directly (no transposed cache copies — the XLA einsum
+    # materializes [B, Hkv, S, D] copies of BOTH caches every step, which
+    # also defeats in-place DUS; see ops/pallas/decode_attention.py).
+    on_cpu = jax.default_backend() == "cpu"
+    impl = cfg.decode_attn_impl
+    if (kv_cache is not None and L == 1 and mask is not None
+            and kv_cache.k_scale is None
+            and impl in ("pallas", "pallas_interpret")
+            and _decode_attn_ok(cfg)
+            # on CPU the kernel only runs interpreted (~100x slower), so
+            # the default "pallas" quietly uses the XLA path there;
+            # "pallas_interpret" forces the kernel for parity tests
+            and (not on_cpu or impl == "pallas_interpret")):
+        from mtasr_tpu.ops.pallas.decode_attention import decode_attention
+        out = decode_attention(q[:, 0], k_all, v_all, mask[:, 0, 0, :],
+                               interpret=on_cpu)[:, None]
+    else:
+        out = dot_product_attention(q, k_use, v_use, mask=mask,
+                                    scale=D ** -0.5)
     out = out.reshape(B, L, -1)
     ab_o = lora_layer.get("o_proj") if lora_layer is not None else None
     rng_o = (jax.random.fold_in(lora_rng, _LORA_RNG_FOLD["o_proj"])

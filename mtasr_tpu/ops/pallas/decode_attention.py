@@ -1,0 +1,135 @@
+"""Fused single-token (decode-step) attention over the merged-lane KV cache.
+
+Replaces the XLA einsum attention for the L=1 KV-cached decode step
+(the reference's FA2/SDPA decode path — /root/reference runs HF
+`LlamaSdpaAttention` with a DynamicCache; here the cache is a preallocated
+[B, S_max, Hkv*D] HBM buffer, models/llama.py::KVCache).
+
+Why a Pallas kernel: profiling the decode step (DESIGN.md round 3) showed
+XLA moving ~13.4 GB/step against a ~3.4 GB theoretical stream. Two causes:
+
+* the [B, S, Hkv, D=64] cache layout is lane-padded 64->128 in HBM,
+  doubling every cache byte (fixed by the merged-lane [B, S, Hkv*D] cache);
+* the attention einsum wants a [B, Hkv, S, D] layout, so XLA materializes
+  transposed copies of both caches every step, and the transpose+carry
+  interaction defeats in-place dynamic_update_slice.
+
+This kernel reads the cache in its native merged-lane layout — block
+(Bb, S, Hkv*D) streamed HBM->VMEM with Mosaic's automatic double
+buffering — and reshapes to heads **in VMEM**, so HBM sees exactly one
+contiguous pass over K and V and no transposed copies. GQA is handled by
+batching the dot_generals over (batch row, kv head): q [Bb, Hkv, G, D]
+against k [Bb, S, Hkv, D] contracting D, so no 4x head-expansion of the
+cache is ever materialized.
+
+The surrounding dynamic_update_slice (writing the step's new K/V slot)
+stays in XLA: with the kernel as the only other consumer, XLA keeps the
+update in place (measured: the DUS+attention+carry step dropped from
+11.9 ms to ~3 ms/step at B=128, S=214, 16 layers).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+_VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom under the ~16 MB/core VMEM
+
+
+def _kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, *, Bb, S, Hkv, G, D):
+    """One program handles Bb batch rows: softmax(q k^T + mask) v.
+
+    Blocks: mask (Bb, S) int8 VMEM, q (Bb, Hq*D) VMEM,
+    k/v (Bb, S, Hkv*D) VMEM, o (Bb, Hq*D) VMEM.
+
+    GQA is a static Python loop over the Hkv kv-heads (Mosaic's tpu.matmul
+    supports at most one batch dim, so a (b, hkv)-batched dot_general fails
+    verification); each iteration slices that head's D lanes out of the
+    merged lane dim — a static VMEM lane slice, no HBM-side relayout.
+    The mask arrives as a pre-shaped [Bb, 1, S] f32 additive bias
+    (0 / -1e9): Mosaic can broadcast a unit dim but rejects the 2D->3D
+    shape cast a [Bb, S] bool mask would need.
+    """
+    bias = mask_ref[:]                                # [Bb, 1, S] f32
+    scale = D ** -0.5
+    for h in range(Hkv):
+        k_h = k_ref[:, :, h * D:(h + 1) * D]          # [Bb, S, D] lane slice
+        v_h = v_ref[:, :, h * D:(h + 1) * D]
+        q_h = q_ref[:, h * G:(h + 1) * G, :]          # [Bb, G, D] sublane slice
+        # scores[b, g, s]: contract D, batch b
+        scores = jax.lax.dot_general(
+            q_h, k_h, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        scores = scores + bias
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v_h.dtype)
+        # out[b, g, d]: contract S, batch b
+        out = jax.lax.dot_general(
+            p, v_h, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        o_ref[:, h * G:(h + 1) * G, :] = out.astype(o_ref.dtype)
+
+
+def _pick_bb(B: int, S: int, HD: int) -> int:
+    """Largest Bb dividing B whose double-buffered K+V blocks fit VMEM."""
+    for bb in (16, 8, 4, 2, 1):
+        if B % bb:
+            continue
+        # 2 inputs (k, v) x 2 pipeline buffers, bf16
+        if 4 * bb * S * HD * 2 <= _VMEM_BUDGET:
+            return bb
+    return 1
+
+
+def supported(q_heads: int, kv_heads: int, head_dim: int) -> bool:
+    """Shapes the kernel handles; callers fall back to XLA otherwise."""
+    return (q_heads % kv_heads == 0
+            and (kv_heads * head_dim) % _LANE == 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
+                     mask: jax.Array, *, interpret: bool = False
+                     ) -> jax.Array:
+    """Single-step attention over the full cache.
+
+    Args:
+      q: [B, Hq, D] current token's queries (RoPE already applied).
+      k_cache, v_cache: [B, S, Hkv*D] merged-lane cache buffers (the new
+        token's K/V already written at its slot via dynamic_update_slice).
+      mask: [B, S] bool — True where the key slot is attendable (valid
+        and causally visible).
+
+    Returns: [B, Hq, D] attention output (same dtype as q).
+    """
+    B, Hq, D = q.shape
+    S, HD = k_cache.shape[1], k_cache.shape[2]
+    Hkv = HD // D
+    G = Hq // Hkv
+    Bb = _pick_bb(B, S, HD)
+    kern = functools.partial(_kernel, Bb=Bb, S=S, Hkv=Hkv, G=G, D=D)
+    bias = jnp.where(mask, 0.0, -1e9).astype(jnp.float32)[:, None, :]
+    out = pl.pallas_call(
+        kern,
+        grid=(B // Bb,),
+        in_specs=[
+            pl.BlockSpec((Bb, 1, S), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, Hq, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, S, HD), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, S, HD), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Bb, Hq, D), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
+        interpret=interpret,
+    )(bias, q, k_cache, v_cache)
+    return out

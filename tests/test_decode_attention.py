@@ -1,0 +1,92 @@
+"""Pallas decode-step attention vs the XLA reference formulation.
+
+The kernel (ops/pallas/decode_attention.py) replaces dot_product_attention
+for the L=1 KV-cached decode step; these tests pin numerical parity in
+interpret mode (CPU) including GQA head grouping and masked (invalid /
+not-yet-written) cache slots, and that llama_forward's decode step routes
+through it unchanged.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mtasr_tpu.ops.attention import dot_product_attention
+from mtasr_tpu.ops.pallas.decode_attention import (
+    decode_attention, supported,
+)
+
+
+@pytest.mark.parametrize("B,S,Hq,Hkv,D", [
+    (4, 32, 8, 2, 64),     # GQA groups=4, HD=128
+    (2, 17, 4, 4, 32),     # MHA, HD=128, ragged S
+    (8, 64, 16, 2, 128),   # HD=256
+])
+def test_matches_xla_attention(B, S, Hq, Hkv, D):
+    assert supported(Hq, Hkv, D)
+    key = jax.random.key(0)
+    q = jax.random.normal(key, (B, Hq, D), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, S, Hkv, D),
+                          jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, S, Hkv, D),
+                          jnp.float32)
+    # ragged per-row validity with a hole (mid-sequence padding)
+    mask = np.ones((B, S), bool)
+    mask[0, S // 2] = False
+    mask[:, S - 3:] = False
+    mask[1, : S // 4] = False
+    mask = jnp.asarray(mask)
+
+    ref = dot_product_attention(q[:, None], k, v,
+                                mask=mask[:, None, None, :])[:, 0]
+    got = decode_attention(q, k.reshape(B, S, Hkv * D),
+                           v.reshape(B, S, Hkv * D), mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_unsupported_geometry_detected():
+    assert not supported(8, 3, 64)      # Hq not divisible by Hkv
+    assert not supported(4, 1, 64)      # HD=64 not lane-aligned
+    assert supported(32, 8, 64)         # flagship 1B geometry
+
+
+def test_llama_decode_step_routes_through_kernel():
+    """llama_forward with a cache and L=1 must produce identical logits
+    under decode_attn_impl='pallas' (interpret on CPU) and 'xla'."""
+    from dataclasses import replace
+    from mtasr_tpu.config import LlamaConfig
+    from mtasr_tpu.models.llama import (
+        KVCache, init_llama_params, llama_forward,
+    )
+    cfg = LlamaConfig(vocab_size=64, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, head_dim=64,
+                      decode_attn_impl="pallas_interpret")
+    assert supported(4, 2, 64)
+    params = init_llama_params(jax.random.key(0), cfg)
+    B, L0 = 2, 6
+    emb = jax.random.normal(jax.random.key(1), (B, L0, 64), jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(L0)[None], (B, L0))
+
+    outs = {}
+    for impl in ("pallas_interpret", "xla"):
+        c = replace(cfg, decode_attn_impl=impl)
+        cache = KVCache.init(c, B, L0 + 3, dtype=jnp.float32)
+        logits, cache = llama_forward(params, c, emb, pos, kv_cache=cache,
+                                      cache_offset=0)
+        toks = [jnp.argmax(logits[:, -1], -1)]
+        for t in range(2):
+            e = jax.random.normal(jax.random.fold_in(jax.random.key(2), t),
+                                  (B, 1, 64), jnp.float32)
+            p = jnp.full((B, 1), L0 + t)
+            logits, cache = llama_forward(params, c, e, p, kv_cache=cache,
+                                          cache_offset=L0 + t)
+            toks.append(jnp.argmax(logits[:, -1], -1))
+        outs[impl] = (np.asarray(logits), np.stack([np.asarray(x)
+                                                    for x in toks]))
+    np.testing.assert_allclose(outs["pallas_interpret"][0], outs["xla"][0],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(outs["pallas_interpret"][1],
+                                  outs["xla"][1])
