@@ -14,6 +14,7 @@ keys, so every model runs unchanged on a quantized tree.
 """
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import jax
@@ -24,14 +25,20 @@ import numpy as np
 def quantize_linear(p: dict, mode: str = "w8") -> dict:
     """mode='w8': weight-only (dequant-to-bf16 in the dot operand).
     mode='w8a8': true int8 matmul — activations quantized per token at run
-    time, s8 x s8 -> s32 on the MXU (models/layers.py::linear dispatch)."""
-    w = np.asarray(p["weight"], np.float32)
-    scale = np.abs(w).max(axis=1, keepdims=True) / 127.0
-    scale = np.maximum(scale, 1e-12)
-    wq = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    time, s8 x s8 -> s32 on the MXU (models/layers.py::linear dispatch).
+
+    Pure jnp so the whole-tree quantization traces into ONE device
+    program: the original numpy version fetched every weight to host and
+    re-uploaded it, which on the tunneled TPU runtime moved ~3.7 GB
+    through a ~30 ms-latency link and took >40 min for the 1B decoder
+    (the round-3 bench int8-extra timeout); on-device it is one compile
+    + milliseconds."""
+    w = p["weight"].astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=1, keepdims=True),
+                        127e-12) / 127.0
+    wq = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
     key = "weight_q8a8" if mode == "w8a8" else "weight_q8"
-    out = {key: jnp.asarray(wq),
-           "scale": jnp.asarray(scale[:, 0].astype(np.float32))}
+    out = {key: wq, "scale": scale[:, 0]}
     if "bias" in p:
         out["bias"] = p["bias"]
     return out
@@ -54,8 +61,14 @@ def quantize_tree(tree, min_out_dim: int = 256, mode: str = "w8"):
 
 def quantize_decoder_for_serving(params: dict, mode: str = "w8") -> dict:
     """Quantize the LLaMA decoder linears (q/k/v/o, MLP, lm_head) +
-    embedding table stays bf16 (gather-only)."""
+    embedding table stays bf16 (gather-only). Runs as one jitted device
+    program (see quantize_linear)."""
     assert mode in ("w8", "w8a8"), mode
+    return jax.jit(functools.partial(_quantize_decoder_impl, mode=mode))(
+        params)
+
+
+def _quantize_decoder_impl(params: dict, mode: str) -> dict:
     out = dict(params)
     dec = {k: v for k, v in params["decoder"].items()}
     model = dict(dec["model"])
