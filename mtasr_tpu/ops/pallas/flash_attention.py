@@ -111,6 +111,141 @@ def _flash_kernel(kv_len_ref, q_ref, k_ref, v_ref, pos_bias_ref, gate_ref,
         lse_ref[0, 0] = lse[:, 0]
 
 
+def _flash_kernel_1s(kv_len_ref, q_ref, k_ref, v_ref, pos_bias_ref,
+                     gate_ref, o_ref, lse_ref, *,
+                     scale: float, causal: bool, q_offset: int,
+                     block_q: int, S: int, A: int, with_bias: bool):
+    """Single-S-block fast path: the whole key axis fits one block, so each
+    program computes a COMPLETE softmax (no running-max scratch, no
+    cross-step accumulation). Grid (Hq//A, T_blocks, B) with the batch as
+    the innermost axis: the (head-group, q-block) bias slab's block index
+    is constant across the b sweep, so Mosaic fetches each bias block ONCE
+    per layer instead of once per (b, h) — at B=128 that alone removes
+    ~2 GB/layer of HBM reads. A heads are batched per program through
+    dot_generals with a single batch dim (the Mosaic tpu.matmul limit),
+    amortizing per-program overhead A-fold. MHA only (the encoder);
+    GQA/decoder shapes use the general kernel. (A merged-lane [B, T, H*D]
+    variant with per-head lane slicing was measured SLOWER — 8.8 vs 6.7
+    ms/layer — the in-register 64-of-512 lane extraction per head costs
+    more than the head-split transpose this layout pays outside.)"""
+    b = pl.program_id(2)
+    q = q_ref[:]                               # [A, bq, D]
+    k = k_ref[:]                               # [A, S, D]
+    v = v_ref[:]
+
+    kv_len = kv_len_ref[b]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (A, S, 1), 1)
+    row_ok = row_ids < kv_len
+    k = jnp.where(row_ok, k, 0.0)
+    v = jnp.where(row_ok, v, 0.0)
+
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32) * scale
+
+    if with_bias:
+        pb = pos_bias_ref[:].astype(jnp.float32)           # [A, bq, S]
+        g = gate_ref[:].astype(jnp.float32)                # [A, 1, bq]
+        s = s + jnp.swapaxes(g, 1, 2) * pb
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (A, block_q, S), 2)
+    valid = col < kv_len
+    if causal:
+        row = (pl.program_id(1) * block_q + q_offset
+               + jax.lax.broadcasted_iota(jnp.int32, (A, block_q, S), 1))
+        valid = valid & (col <= row)
+    s = jnp.where(valid, s, NEG_INF)
+
+    m = jnp.max(s, axis=-1, keepdims=True)                 # [A, bq, 1]
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    denom = jnp.where(l == 0.0, 1.0, l)
+    out = jax.lax.dot_general(p.astype(v.dtype), v,
+                              (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    o_ref[:] = (out / denom).astype(o_ref.dtype)
+    lse = m + jnp.log(jnp.maximum(l, 1e-30))
+    lse = jnp.where(l == 0.0, NEG_INF, lse)
+    lse_ref[:] = jnp.swapaxes(lse, 1, 2)                   # [A, 1, bq]
+
+
+def _flash_forward_1s(q, k, v, kv_lens, pos_bias, gate, scale, causal,
+                      q_offset, block_q, interpret):
+    """Single-S-block dispatch; preconditions checked by the caller:
+    S <= block_k (one key block), Hq == Hkv (MHA)."""
+    B, T, Hq, D = q.shape
+    S = k.shape[1]
+    # A: heads per program. VMEM estimate per program: q+k+v blocks (bf16,
+    # D lane-padded to 128) and the bias slab, x2 pipeline buffers
+    # (~7 MB at A=4 with S=bq=512); fits the ~16 MB/core VMEM.
+    A = next(a for a in (8, 4, 2, 1) if Hq % a == 0
+             and 2 * a * (3 * S * 128 + block_q * S) * 2 <= 12 * 1024 * 1024)
+    block_q = min(block_q, T)
+
+    q_f = q.transpose(0, 2, 1, 3).reshape(B * Hq, T, D)
+    k_f = k.transpose(0, 2, 1, 3).reshape(B * Hq, S, D)
+    v_f = v.transpose(0, 2, 1, 3).reshape(B * Hq, S, D)
+
+    grid = (Hq // A, pl.cdiv(T, block_q), B)
+    with_bias = pos_bias is not None
+    if kv_lens is None:
+        kv_lens = jnp.full((B,), S, jnp.int32)
+    if with_bias:
+        gate_f = gate.reshape(B * Hq, 1, T)
+        pos_bias = pos_bias.astype(q.dtype)  # stream the table at bf16
+    else:
+        pos_bias = jnp.zeros((1, 8, 128), q.dtype)
+        gate_f = jnp.zeros((1, 1, 128), q.dtype)
+
+    kernel = functools.partial(
+        _flash_kernel_1s, scale=scale, causal=causal, q_offset=q_offset,
+        block_q=block_q, S=S, A=A, with_bias=with_bias)
+
+    # q_f rows are h-major within b: row index = b*Hq + h. A block of
+    # A rows starting at b*Hq + hg*A has block index (b*Hq//A + hg).
+    Hq_over_A = Hq // A
+    in_specs = [
+        pl.BlockSpec((A, block_q, D),
+                     lambda hg, i, b, kv: (b * Hq_over_A + hg, i, 0)),
+        pl.BlockSpec((A, S, D),
+                     lambda hg, i, b, kv: (b * Hq_over_A + hg, 0, 0)),
+        pl.BlockSpec((A, S, D),
+                     lambda hg, i, b, kv: (b * Hq_over_A + hg, 0, 0)),
+    ]
+    if with_bias:
+        in_specs += [
+            pl.BlockSpec((A, block_q, S), lambda hg, i, b, kv: (hg, i, 0)),
+            pl.BlockSpec((A, 1, block_q),
+                         lambda hg, i, b, kv: (b * Hq_over_A + hg, 0, i)),
+        ]
+    else:
+        in_specs += [
+            pl.BlockSpec((1, 8, 128), lambda hg, i, b, kv: (0, 0, 0)),
+            pl.BlockSpec((1, 1, 128), lambda hg, i, b, kv: (0, 0, 0)),
+        ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((A, block_q, D),
+                         lambda hg, i, b, kv: (b * Hq_over_A + hg, i, 0)),
+            pl.BlockSpec((A, 1, block_q),
+                         lambda hg, i, b, kv: (b * Hq_over_A + hg, 0, i)),
+        ],
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B * Hq, T, D), q.dtype),
+                   jax.ShapeDtypeStruct((B * Hq, 1, T), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(kv_lens.astype(jnp.int32), q_f, k_f, v_f, pos_bias, gate_f)
+    return out.reshape(B, Hq, T, D).transpose(0, 2, 1, 3), lse
+
+
 def _flash_forward(q, k, v, kv_lens, pos_bias, gate, scale, causal, q_offset,
                    block_q, block_k, interpret=False):
     B, T, Hq, D = q.shape
@@ -118,6 +253,9 @@ def _flash_forward(q, k, v, kv_lens, pos_bias, gate, scale, causal, q_offset,
     group = Hq // Hkv
     block_q = min(block_q, T)
     block_k = min(block_k, S)
+    if S <= block_k and Hq == Hkv:
+        return _flash_forward_1s(q, k, v, kv_lens, pos_bias, gate, scale,
+                                 causal, q_offset, block_q, interpret)
 
     # flatten heads into the leading grid dim: [B, T, H, D] -> [B*H, T, D]
     q_f = q.transpose(0, 2, 1, 3).reshape(B * Hq, T, D)
