@@ -45,9 +45,10 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     g.add_argument("--lora_dropout", type=float, default=0.1,
                    help="LoRA-branch input dropout "
                         "(insert_adapter_decoder.py:59)")
-    g.add_argument("--attention_impl", type=str, default="xla",
-                   choices=["xla", "flash"],
-                   help="encoder attention backend (flash = Pallas kernel)")
+    g.add_argument("--attention_impl", type=str, default="auto",
+                   choices=["auto", "xla", "flash"],
+                   help="encoder attention backend (auto = flash Pallas "
+                        "kernel on TPU, xla elsewhere)")
     g.add_argument("--gradient_checkpointing", action="store_true",
                    help="rematerialize encoder+decoder layers in backward")
 

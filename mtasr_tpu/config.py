@@ -57,11 +57,12 @@ class WavLMConfig:
     activation_dropout: float = 0.1
     feat_proj_dropout: float = 0.0
     layerdrop: float = 0.0  # reference sets layerdrop=0 at assembly time
-    # attention implementation: 'xla' (fused by the compiler, materializes
-    # the gated rel-pos bias) or 'flash' (Pallas kernel, composes the bias
-    # in VMEM — wins at large batch*length where the [B,H,T,S] bias
-    # dominates HBM traffic)
-    attention_impl: str = "xla"
+    # attention implementation: 'auto' (flash on TPU, xla on CPU — the
+    # production default), 'xla' (fused by the compiler, materializes the
+    # gated rel-pos bias), or 'flash' (Pallas kernel, composes the bias in
+    # VMEM — ~2x the XLA stack at B=128 where the [B,H,T,S] bias dominates
+    # HBM traffic; on CPU it runs interpreted, so 'auto' avoids it there)
+    attention_impl: str = "auto"
     # rematerialize each encoder layer in backward (jax.checkpoint) — the
     # gradient_checkpointing equivalent, trades FLOPs for activation memory
     remat: bool = False

@@ -209,7 +209,12 @@ def _wavlm_attention(p: dict, cfg: WavLMConfig, x: jax.Array,
     k = linear(p["k_proj"], x).reshape(B, T, H, D)
     v = linear(p["v_proj"], x).reshape(B, T, H, D)
 
-    if cfg.attention_impl == "flash":
+    impl = cfg.attention_impl
+    if impl == "auto":
+        # flash needs compiled Mosaic; on CPU it would run interpreted
+        # (orders of magnitude slower), so auto resolves per-backend
+        impl = "xla" if jax.default_backend() == "cpu" else "flash"
+    if impl == "flash":
         from mtasr_tpu.ops.pallas.flash_attention import flash_attention
         gate = _attention_gate(p, x, H)
         kv_lens = (jnp.sum(key_valid_mask.astype(jnp.int32), -1)
