@@ -49,7 +49,11 @@ class KVCache:
 
     int8 mode (init(..., quantized=True)): k/v buffers are int8 with
     per-(batch, position, head) symmetric scales in k_scale/v_scale
-    ([B, S_max, H_kv] f32). At long context the decode step is KV-bandwidth
+    ([B, S_max, H_kv] f32 — position on the SUBLANE axis: storing the
+    Pallas kernel's transposed [B, H_kv, S] layout natively was measured
+    ~30% slower end-to-end, because the per-step scale write then updates
+    a single LANE column, a read-modify-write of every tile in the
+    buffer; the kernel instead takes a cheap per-step swapaxes). At long context the decode step is KV-bandwidth
     bound (B=128, L~650: ~2.7 GB of KV reads/step vs 2.5 GB of weights), so
     halving KV bytes attacks the dominant stream; scales add D/4 overhead
     (6% at D=64). Dequant happens in-register inside the attention einsum —
@@ -268,16 +272,28 @@ def _attention(p: dict, cfg: LlamaConfig, x: jax.Array,
     on_cpu = jax.default_backend() == "cpu"
     impl = cfg.decode_attn_impl
     if (kv_cache is not None and L == 1 and mask is not None
-            and kv_cache.k_scale is None
             and impl in ("pallas", "pallas_interpret")
             and _decode_attn_ok(cfg)
             # on CPU the kernel only runs interpreted (~100x slower), so
             # the default "pallas" quietly uses the XLA path there;
             # "pallas_interpret" forces the kernel for parity tests
             and (not on_cpu or impl == "pallas_interpret")):
-        from mtasr_tpu.ops.pallas.decode_attention import decode_attention
-        out = decode_attention(q[:, 0], k_all, v_all, mask[:, 0, 0, :],
-                               interpret=on_cpu)[:, None]
+        if kv_cache.k_scale is not None:
+            # int8 cache: scales fold into scores/probs inside the kernel,
+            # so the dequantized k_use/v_use above are dead code (DCE'd)
+            # and HBM sees only the int8 stream
+            from mtasr_tpu.ops.pallas.decode_attention import (
+                decode_attention_int8,
+            )
+            out = decode_attention_int8(
+                q[:, 0], k_all, v_all, ks_all, vs_all, mask[:, 0, 0, :],
+                interpret=on_cpu)[:, None]
+        else:
+            from mtasr_tpu.ops.pallas.decode_attention import (
+                decode_attention,
+            )
+            out = decode_attention(q[:, 0], k_all, v_all, mask[:, 0, 0, :],
+                                   interpret=on_cpu)[:, None]
     else:
         out = dot_product_attention(q, k_use, v_use, mask=mask,
                                     scale=D ** -0.5)

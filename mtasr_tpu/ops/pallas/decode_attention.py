@@ -75,13 +75,13 @@ def _kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, *, Bb, S, Hkv, G, D):
         o_ref[:, h * G:(h + 1) * G, :] = out.astype(o_ref.dtype)
 
 
-def _pick_bb(B: int, S: int, HD: int) -> int:
+def _pick_bb(B: int, S: int, HD: int, itemsize: int = 2) -> int:
     """Largest Bb dividing B whose double-buffered K+V blocks fit VMEM."""
     for bb in (16, 8, 4, 2, 1):
         if B % bb:
             continue
-        # 2 inputs (k, v) x 2 pipeline buffers, bf16
-        if 4 * bb * S * HD * 2 <= _VMEM_BUDGET:
+        # 2 inputs (k, v) x 2 pipeline buffers
+        if 4 * bb * S * HD * itemsize <= _VMEM_BUDGET:
             return bb
     return 1
 
@@ -132,4 +132,85 @@ def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
         out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
         interpret=interpret,
     )(bias, q, k_cache, v_cache)
+    return out
+
+
+def _kernel_int8(mask_ref, ks_ref, vs_ref, q_ref, k_ref, v_ref, o_ref,
+                 *, Bb, S, Hkv, G, D):
+    """int8-KV variant. k/v blocks are int8 [Bb, S, Hkv*D]; per-slot
+    symmetric scales arrive pre-transposed as [Bb, Hkv, S] f32 so each
+    head's scale row is a sublane slice (a [Bb, S] -> [Bb, 1, S] reshape
+    would be an unsupported Mosaic shape cast). Dequant never materializes:
+    the K scale folds into the scores and the V scale folds into the
+    softmax probabilities, so the int8 halving of HBM traffic is kept
+    end-to-end (the round-2 XLA path dequantized to bf16 in-register but
+    still paid transposed-copy traffic)."""
+    bias = mask_ref[:]                                # [Bb, 1, S] f32
+    scale = D ** -0.5
+    for h in range(Hkv):
+        k_h = k_ref[:, :, h * D:(h + 1) * D].astype(jnp.bfloat16)
+        v_h = v_ref[:, :, h * D:(h + 1) * D].astype(jnp.bfloat16)
+        ks_h = ks_ref[:, h:h + 1, :]                  # [Bb, 1, S]
+        vs_h = vs_ref[:, h:h + 1, :]
+        q_h = q_ref[:, h * G:(h + 1) * G, :]          # [Bb, G, D]
+        scores = jax.lax.dot_general(
+            q_h.astype(jnp.bfloat16), k_h, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        scores = scores * (ks_h * scale) + bias
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        p = (p * vs_h).astype(jnp.bfloat16)
+        out = jax.lax.dot_general(
+            p, v_h, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        o_ref[:, h * G:(h + 1) * G, :] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_attention_int8(q: jax.Array, k_cache: jax.Array,
+                          v_cache: jax.Array, k_scale: jax.Array,
+                          v_scale: jax.Array, mask: jax.Array,
+                          *, interpret: bool = False) -> jax.Array:
+    """Single-step attention over an int8 cache with per-(b, s, h) scales.
+
+    Args:
+      q: [B, Hq, D] queries (bf16/f32).
+      k_cache, v_cache: [B, S, Hkv*D] int8 merged-lane buffers.
+      k_scale, v_scale: [B, S, Hkv] f32 symmetric scales.
+      mask: [B, S] bool.
+
+    Returns: [B, Hq, D] in q's dtype.
+    """
+    B, Hq, D = q.shape
+    S, HD = k_cache.shape[1], k_cache.shape[2]
+    Hkv = HD // D
+    G = Hq // Hkv
+    Bb = _pick_bb(B, S, HD, itemsize=1)
+    kern = functools.partial(_kernel_int8, Bb=Bb, S=S, Hkv=Hkv, G=G, D=D)
+    bias = jnp.where(mask, 0.0, -1e9).astype(jnp.float32)[:, None, :]
+    ks_t = jnp.swapaxes(k_scale, 1, 2)                # [B, Hkv, S]
+    vs_t = jnp.swapaxes(v_scale, 1, 2)
+    out = pl.pallas_call(
+        kern,
+        grid=(B // Bb,),
+        in_specs=[
+            pl.BlockSpec((Bb, 1, S), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, Hkv, S), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, Hkv, S), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, Hq, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, S, HD), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, S, HD), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Bb, Hq, D), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
+        interpret=interpret,
+    )(bias, ks_t, vs_t, q, k_cache, v_cache)
     return out

@@ -46,6 +46,69 @@ def test_matches_xla_attention(B, S, Hq, Hkv, D):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_int8_kernel_matches_dequantized_xla():
+    """The int8 kernel folds scales into scores/probs; it must match the
+    explicit dequantize-then-attend formulation exactly (same math, only
+    the order of the scale multiplications differs)."""
+    from mtasr_tpu.ops.pallas.decode_attention import decode_attention_int8
+    B, S, Hq, Hkv, D = 4, 24, 8, 2, 64
+    key = jax.random.key(3)
+    q = jax.random.normal(key, (B, Hq, D), jnp.float32)
+    k8 = jax.random.randint(jax.random.fold_in(key, 1),
+                            (B, S, Hkv, D), -127, 128, jnp.int8)
+    v8 = jax.random.randint(jax.random.fold_in(key, 2),
+                            (B, S, Hkv, D), -127, 128, jnp.int8)
+    ks = jax.random.uniform(jax.random.fold_in(key, 3), (B, S, Hkv),
+                            jnp.float32, 0.005, 0.02)
+    vs = jax.random.uniform(jax.random.fold_in(key, 4), (B, S, Hkv),
+                            jnp.float32, 0.005, 0.02)
+    mask = np.ones((B, S), bool)
+    mask[:, -4:] = False
+    mask[2, 5] = False
+    mask = jnp.asarray(mask)
+
+    k = k8.astype(jnp.float32) * ks[..., None]
+    v = v8.astype(jnp.float32) * vs[..., None]
+    ref = dot_product_attention(q[:, None], k, v,
+                                mask=mask[:, None, None, :])[:, 0]
+    got = decode_attention_int8(q, k8.reshape(B, S, Hkv * D),
+                                v8.reshape(B, S, Hkv * D), ks, vs, mask,
+                                interpret=True)
+    # kernel matmuls run bf16 on the MXU; interpret mode mirrors that
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_llama_int8_decode_routes_through_kernel():
+    """--kv_quant decode under decode_attn_impl='pallas_interpret' must
+    agree with the XLA int8 dequant path."""
+    from dataclasses import replace
+    from mtasr_tpu.config import LlamaConfig
+    from mtasr_tpu.models.llama import (
+        KVCache, init_llama_params, llama_forward,
+    )
+    cfg = LlamaConfig(vocab_size=64, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, head_dim=64)
+    params = init_llama_params(jax.random.key(0), cfg)
+    B, L0 = 2, 5
+    emb = jax.random.normal(jax.random.key(1), (B, L0, 64), jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(L0)[None], (B, L0))
+    logits = {}
+    for impl in ("pallas_interpret", "xla"):
+        c = replace(cfg, decode_attn_impl=impl)
+        cache = KVCache.init(c, B, L0 + 2, quantized=True)
+        _, cache = llama_forward(params, c, emb, pos, kv_cache=cache,
+                                 cache_offset=0)
+        e = jax.random.normal(jax.random.key(2), (B, 1, 64), jnp.float32)
+        p = jnp.full((B, 1), L0)
+        lg, cache = llama_forward(params, c, e, p, kv_cache=cache,
+                                  cache_offset=L0)
+        logits[impl] = np.asarray(lg)
+    np.testing.assert_allclose(logits["pallas_interpret"], logits["xla"],
+                               rtol=2e-2, atol=2e-2)
+
+
 def test_unsupported_geometry_detected():
     assert not supported(8, 3, 64)      # Hq not divisible by Hkv
     assert not supported(4, 1, 64)      # HD=64 not lane-aligned
