@@ -220,6 +220,7 @@ def main():
         _emit(rtfx, extras)
 
     # -- extra 2: int8 serving path (w8a8 weights + int8 KV cache) ----------
+    qparams = None
     if _remaining() > 150:
         try:
             from mtasr_tpu.utils.quantize import quantize_decoder_for_serving
@@ -232,6 +233,19 @@ def main():
     else:
         extras["int8_bench_skipped"] = (
             f"remaining budget {_remaining():.0f}s < 150s")
+        _emit(rtfx, extras)
+
+    # -- extra 3: full int8 serving (encoder transformer also w8a8) ---------
+    # the B=128 encoder is compute-bound (~65% MFU bf16 proj/MLP), so int8
+    # rides the MXU's 2x int8 throughput on top of extra 2's decode win
+    if qparams is not None and _remaining() > 250:
+        try:
+            from mtasr_tpu.utils.quantize import quantize_encoder_for_serving
+            qall = quantize_encoder_for_serving(qparams, mode="w8a8")
+            extras["rtfx_int8_e2e"] = round(_decode_rtfx(
+                jax, jnp, cfg, qall, B, secs, max_new, kv_quant=True), 2)
+        except Exception as e:
+            extras["int8_e2e_bench_error"] = str(e)[:200]
         _emit(rtfx, extras)
 
 

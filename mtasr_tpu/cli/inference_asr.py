@@ -55,6 +55,12 @@ def build_argparser():
     p.add_argument("--kv_quant", action="store_true",
                    help="int8 KV cache (per-token-per-head scales); halves "
                         "the dominant HBM stream of long-context decode")
+    p.add_argument("--quantize_scope", type=str, default="decoder",
+                   choices=["decoder", "all"],
+                   help="'decoder' quantizes the weight-bound decode loop; "
+                        "'all' also quantizes the encoder transformer "
+                        "(compute-bound: w8a8 rides the MXU's 2x int8 "
+                        "throughput)")
     return p
 
 
@@ -101,12 +107,14 @@ def main(argv=None):
     # quantize BEFORE mesh sharding (quantization round-trips through host
     # numpy, which would drop NamedShardings applied below)
     if args.quantize != "none":
-        from mtasr_tpu.utils.quantize import quantize_decoder_for_serving
+        from mtasr_tpu.utils.quantize import quantize_for_serving
         if "decoder_lora" in params:        # fold LoRA before quantizing
             from mtasr_tpu.train.lora import merge_decoder_lora
             params = merge_decoder_lora(params)
-        params = quantize_decoder_for_serving(params, mode=args.quantize)
-        logger.info("quantized decoder for serving: %s", args.quantize)
+        params = quantize_for_serving(params, mode=args.quantize,
+                                      scope=args.quantize_scope)
+        logger.info("quantized %s for serving: %s", args.quantize_scope,
+                    args.quantize)
 
     # device mesh (reference inference_asr_gpus.py shards at the *process*
     # level over NCCL; here one process drives a dp x tp mesh, and

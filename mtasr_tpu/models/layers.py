@@ -119,10 +119,64 @@ def conv1d_init(key, in_dim: int, out_dim: int, kernel: int,
     return p
 
 
+def _conv1d_s2d(w: jax.Array, x: jax.Array, stride: int, k: int) -> jax.Array:
+    """Space-to-depth conv formulation: reshape time into channels so the
+    conv becomes 1-3 dense matmuls with a LARGE contraction dim (k*C or 2C),
+    instead of XLA's native conv tiling which measured 0.4-5.5% MFU on the
+    WavLM frontend shapes (the k=s layers literally run at 0.4%).
+
+    Supported geometries (exactly the WavLM-Large frontend, padding=0,
+    groups=1):
+      * k == stride      -> x.reshape(B, T//k, k*C) @ A          (one matmul)
+      * k == 3, s == 2   -> z = reshape(B, T/2, 2C);             (two matmuls)
+                            z[:T'] @ A2 + z[1:T'+1, :C] @ W2
+      * k == 2*stride    -> even/odd output phases, each a k-frame
+                            reshape @ A, interleaved              (two matmuls)
+    Caller guarantees one of these holds (see conv1d)."""
+    B, T, C = x.shape
+    O = w.shape[0]
+    # A[j*C + c, o] = w[o, c, j]: frame layout after reshape is
+    # (..., j*C + c) = x[t0 + j, c]
+    if k == stride:
+        T_out = T // k
+        A = jnp.transpose(w, (2, 1, 0)).reshape(k * C, O)
+        return x[:, :T_out * k, :].reshape(B, T_out, k * C) @ A
+    if k == 3 and stride == 2:
+        T_out = (T - 3) // 2 + 1
+        if T % 2:                         # one zero row so z covers row 2T'
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 0)))
+        z = x.reshape(B, -1, 2 * C)
+        A2 = jnp.transpose(w[:, :, :2], (2, 1, 0)).reshape(2 * C, O)
+        W2 = w[:, :, 2].T                 # [C, O]
+        return z[:, :T_out] @ A2 + z[:, 1:T_out + 1, :C] @ W2
+    assert k == 2 * stride, (k, stride)
+    T_out = (T - k) // stride + 1
+    n_even = (T_out + 1) // 2             # outputs t=2u: window [k*u, k*u+k)
+    n_odd = T_out // 2                    # t=2u+1: window [k*u+s, k*u+s+k)
+    A = jnp.transpose(w, (2, 1, 0)).reshape(k * C, O)
+    g = x[:, :(T // k) * k, :].reshape(B, -1, k * C)
+    h = x[:, stride:stride + ((T - stride) // k) * k, :].reshape(B, -1, k * C)
+    even = g[:, :n_even] @ A              # [B, n_even, O]
+    odd = h[:, :n_odd] @ A
+    if n_odd < n_even:
+        odd = jnp.pad(odd, ((0, 0), (0, n_even - n_odd), (0, 0)))
+    out = jnp.stack([even, odd], axis=2).reshape(B, 2 * n_even, O)
+    return out[:, :T_out]
+
+
+def _s2d_ok(k: int, stride: int, padding: int, groups: int) -> bool:
+    return (padding == 0 and groups == 1
+            and (k == stride or (k == 3 and stride == 2) or k == 2 * stride))
+
+
 def conv1d(p: dict, x_btc: jax.Array, stride: int = 1, padding: int = 0,
            groups: int = 1, impl: str = "xla") -> jax.Array:
     """Conv over time. x: [B, T, C] -> [B, T', C_out]; weight in torch layout
     [out, in/groups, k].
+
+    impl="s2d" (default via WavLMConfig.conv_impl): space-to-depth matmul
+    formulation, see _conv1d_s2d; falls back to native XLA conv for
+    unsupported geometry (e.g. the grouped rel-pos embedding conv).
 
     impl="matmul": tap-decomposed MXU formulation — K strided slices, each a
     plain [B*T', C_in] x [C_in, C_out] matmul, accumulated. Same math
@@ -130,6 +184,11 @@ def conv1d(p: dict, x_btc: jax.Array, stride: int = 1, padding: int = 0,
     matmuls when its native conv tiling underutilizes the MXU. Grouped
     convs (the rel-pos embedding) always use the native path."""
     w = p["weight"].astype(x_btc.dtype)
+    if impl == "s2d" and _s2d_ok(w.shape[2], stride, padding, groups):
+        y = _conv1d_s2d(w, x_btc, stride, w.shape[2])
+        if "bias" in p:
+            y = y + p["bias"].astype(x_btc.dtype)
+        return y
     if impl == "matmul" and groups == 1:
         if padding:
             x_btc = jnp.pad(x_btc, ((0, 0), (padding, padding), (0, 0)))

@@ -68,6 +68,64 @@ def quantize_decoder_for_serving(params: dict, mode: str = "w8") -> dict:
         params)
 
 
+def quantize_encoder_for_serving(params: dict, mode: str = "w8a8") -> dict:
+    """Quantize the WavLM encoder transformer linears (q/k/v/out proj +
+    FFN intermediate/output denses, feature projection) for serving.
+
+    Unlike the decode loop (weight-bound), the B=128 encoder is
+    COMPUTE-bound (proj+MLP ~65% MFU bf16, DESIGN.md round-3 profile), so
+    the win here is the MXU's 2x int8 throughput, which needs mode='w8a8'
+    (s8 x s8 -> s32 dots); 'w8' only halves weight bytes, which the
+    encoder doesn't care about at large batch. Left in bf16: layer norms,
+    the tiny gru_rel_pos gate (8-out), rel_attn_embed, the grouped
+    pos-conv, the conv frontend, and the adapter convs.
+
+    Structure is uniform across layers (quantized slots get the same
+    {'weight_q8a8','scale','bias'} keys everywhere), so the scan_layers
+    stacked-tree path is unaffected."""
+    assert mode in ("w8", "w8a8"), mode
+    return jax.jit(functools.partial(_quantize_encoder_impl, mode=mode))(
+        params)
+
+
+def _quantize_encoder_impl(params: dict, mode: str) -> dict:
+    out = dict(params)
+    enc = {k: v for k, v in params["encoder"].items()}
+    tenc = dict(enc["encoder"])
+    layers = {}
+    for li, layer in tenc["layers"].items():
+        att = dict(layer["attention"])
+        for name in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            # per-slot (not whole-layer quantize_tree): rel_attn_embed is a
+            # 2D [num_buckets, H] table consumed by take(), and the norms /
+            # gru_rel_pos gate must stay bf16
+            att[name] = quantize_tree(att[name], mode=mode)
+        layers[li] = {
+            **layer,
+            "attention": att,
+            "feed_forward": quantize_tree(layer["feed_forward"], mode=mode),
+        }
+    tenc["layers"] = layers
+    enc["encoder"] = tenc
+    if "feature_projection" in enc:
+        fp = dict(enc["feature_projection"])
+        fp["projection"] = quantize_tree(fp["projection"], mode=mode)
+        enc["feature_projection"] = fp
+    out["encoder"] = enc
+    return out
+
+
+def quantize_for_serving(params: dict, mode: str = "w8",
+                         scope: str = "decoder") -> dict:
+    """scope='decoder' (the weight-bound decode loop only) or 'all'
+    (decoder + encoder transformer, for max-throughput int8 serving)."""
+    assert scope in ("decoder", "all"), scope
+    params = quantize_decoder_for_serving(params, mode)
+    if scope == "all":
+        params = quantize_encoder_for_serving(params, mode)
+    return params
+
+
 def _quantize_decoder_impl(params: dict, mode: str) -> dict:
     out = dict(params)
     dec = {k: v for k, v in params["decoder"].items()}

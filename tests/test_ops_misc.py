@@ -122,3 +122,27 @@ def test_conv1d_matmul_impl_matches_xla():
         assert y1.shape == y2.shape
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_conv1d_s2d_impl_matches_xla():
+    """Space-to-depth formulation (the TPU frontend default) must match the
+    native conv on every WavLM frontend geometry — including odd T (the
+    flagship layer-1 input is T=31999, which needs the zero-row pad) and the
+    k=2*stride even/odd interleave with both output parities."""
+    from mtasr_tpu.models.layers import conv1d
+    rng = np.random.default_rng(12)
+    cases = [(163, 1, 8, 10, 5),    # layer 0 geometry (k=2s), C_in=1
+             (101, 8, 16, 3, 2),    # k=3 s=2, odd T
+             (100, 8, 16, 3, 2),    # k=3 s=2, even T
+             (57, 8, 16, 2, 2),     # k=s
+             (41, 4, 8, 6, 3),      # generic k=2s with C_in>1
+             (64, 8, 16, 3, 1)]     # unsupported geometry -> xla fallback
+    for (T, C, O, K, S) in cases:
+        p = {"weight": jnp.asarray(rng.standard_normal((O, C, K)), jnp.float32),
+             "bias": jnp.asarray(rng.standard_normal(O), jnp.float32)}
+        x = jnp.asarray(rng.standard_normal((2, T, C)), jnp.float32)
+        y1 = conv1d(p, x, stride=S, impl="xla")
+        y2 = conv1d(p, x, stride=S, impl="s2d")
+        assert y1.shape == y2.shape, (y1.shape, y2.shape)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                   rtol=1e-5, atol=1e-5)

@@ -89,6 +89,58 @@ def test_int8_kv_cache_roundtrip_error():
     assert rel < 0.01, rel  # per-token-per-head scales: <1% round-trip error
 
 
+def _midsize_wavlm_cfg():
+    """Encoder big enough that min_out_dim=256 actually quantizes it."""
+    from mtasr_tpu.config import WavLMConfig
+    return WavLMConfig(
+        hidden_size=256, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=512, conv_dim=(64, 64), conv_stride=(5, 2),
+        conv_kernel=(10, 3), num_buckets=16, max_bucket_distance=20,
+        num_conv_pos_embeddings=8, num_conv_pos_embedding_groups=2,
+        add_adapter=False, mask_time_prob=0.0, hidden_dropout=0.0,
+        attention_dropout=0.0, activation_dropout=0.0, feat_proj_dropout=0.0,
+        do_stable_layer_norm=True, feat_extract_norm="layer", conv_bias=True)
+
+
+def test_encoder_w8a8_close_and_structure():
+    """quantize_encoder_for_serving: q/k/v/o + FFN + feature projection go
+    int8; norms, rel_attn_embed and the gru_rel_pos gate stay bf16; encoder
+    output stays within a few % of the bf16 forward."""
+    from mtasr_tpu.models.wavlm import init_wavlm_params, wavlm_forward
+    from mtasr_tpu.utils.quantize import quantize_encoder_for_serving
+    cfg = _midsize_wavlm_cfg()
+    params = init_wavlm_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(5)
+    wav = jnp.asarray(rng.standard_normal((2, 1600)), jnp.float32)
+    am = jnp.ones((2, 1600), jnp.int32)
+    y = wavlm_forward(params, cfg, wav, am).last_hidden_state
+
+    q = quantize_encoder_for_serving({"encoder": params}, mode="w8a8")
+    qp = q["encoder"]
+    l0 = qp["encoder"]["layers"]["0"]
+    assert "weight_q8a8" in l0["attention"]["q_proj"]
+    assert "weight_q8a8" in l0["feed_forward"]["intermediate_dense"]
+    assert "weight" in l0["attention"]["gru_rel_pos_linear"]   # tiny: skipped
+    assert "weight" in l0["attention"]["rel_attn_embed"]       # table: never
+    assert "weight" in l0["layer_norm"]
+    assert "weight_q8a8" in qp["feature_projection"]["projection"]
+
+    yq = wavlm_forward(qp, cfg, wav, am).last_hidden_state
+    rel = float(jnp.linalg.norm(y - yq) / jnp.linalg.norm(y))
+    assert rel < 0.05, rel
+
+
+def test_quantize_for_serving_scope_all_generate_runs():
+    from mtasr_tpu.utils.quantize import quantize_for_serving
+    cfg = tiny_cfg(train_mode="attention")
+    params = init_model_params(jax.random.key(0), cfg)
+    qparams = quantize_for_serving(params, mode="w8a8", scope="all")
+    wav, amask, _ = make_batch(cfg, B=2, seed=9)
+    outq = generate(qparams, cfg, jnp.asarray(wav), jnp.asarray(amask),
+                    max_new_tokens=6)
+    assert np.asarray(outq.sequences).shape == (2, 6)
+
+
 def test_int8_kv_generate_matches_bf16_shapes():
     from mtasr_tpu.config import GenerationConfig
     cfg = tiny_cfg(train_mode="attention")
