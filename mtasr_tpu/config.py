@@ -72,6 +72,16 @@ class WavLMConfig:
     # conv frontend backend: "xla" (conv_general_dilated) or "matmul"
     # (tap-decomposed MXU matmuls — see layers.py::conv1d)
     conv_impl: str = "xla"
+    # gelu erf path: "auto" (polynomial erf on TPU — the VPU has no erf
+    # unit and the exact Eigen rational is 2.2x slower; exact on CPU for
+    # torch-golden parity), "exact", or "fast". <=1 bf16 ulp difference.
+    gelu_impl: str = "auto"
+    # first conv layer (k=10, s=5, C_in=1) as a fused Pallas kernel with
+    # LN+gelu epilogue: "auto" (on TPU when geometry/dtype match), "pallas"
+    # (force; interpreted on CPU — tests), or "xla". The XLA conv runs this
+    # layer at 0.8 TF/s (tiny contraction + lane-padded layouts): 53 ms of
+    # the 146 ms frontend at B=128/10 s; the kernel measures ~29 ms.
+    conv0_impl: str = "auto"
 
     @property
     def out_hidden(self) -> int:

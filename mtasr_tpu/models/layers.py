@@ -150,18 +150,19 @@ def _conv1d_s2d(w: jax.Array, x: jax.Array, stride: int, k: int) -> jax.Array:
         W2 = w[:, :, 2].T                 # [C, O]
         return z[:, :T_out] @ A2 + z[:, 1:T_out + 1, :C] @ W2
     assert k == 2 * stride, (k, stride)
+    # Window t covers blocks [t, t+1] of stride-sized input chunks. Build
+    # the overlapped windows [B, T', k*C] by concatenating adjacent blocks
+    # (tiny when C is small — 82 MB for the WavLM layer 0 at B=128, 10 s)
+    # and run ONE matmul. The previous even/odd-phase formulation computed
+    # two half-rate outputs and interleaved them — materializing extra
+    # copies of the (large) OUTPUT instead of the (small) input, which
+    # OOM'd at the bench shape.
     T_out = (T - k) // stride + 1
-    n_even = (T_out + 1) // 2             # outputs t=2u: window [k*u, k*u+k)
-    n_odd = T_out // 2                    # t=2u+1: window [k*u+s, k*u+s+k)
+    nb = T // stride
+    z = x[:, :nb * stride, :].reshape(B, nb, stride * C)
+    zz = jnp.concatenate([z[:, :T_out], z[:, 1:T_out + 1]], axis=-1)
     A = jnp.transpose(w, (2, 1, 0)).reshape(k * C, O)
-    g = x[:, :(T // k) * k, :].reshape(B, -1, k * C)
-    h = x[:, stride:stride + ((T - stride) // k) * k, :].reshape(B, -1, k * C)
-    even = g[:, :n_even] @ A              # [B, n_even, O]
-    odd = h[:, :n_odd] @ A
-    if n_odd < n_even:
-        odd = jnp.pad(odd, ((0, 0), (0, n_even - n_odd), (0, 0)))
-    out = jnp.stack([even, odd], axis=2).reshape(B, 2 * n_even, O)
-    return out[:, :T_out]
+    return zz @ A
 
 
 def _s2d_ok(k: int, stride: int, padding: int, groups: int) -> bool:
@@ -219,13 +220,56 @@ def gelu(x: jax.Array) -> jax.Array:
     return jax.nn.gelu(x, approximate=False)
 
 
+# Division-free odd minimax polynomial for erf on [-3.9, 3.9] (Lawson-
+# iterated least squares, fitted against math.erf; f32 max abs err 3.4e-4,
+# tail clamp err 3.5e-8). Exists because the TPU VPU has no erf unit: XLA's
+# exact-erf gelu (Eigen rational P/Q + divide) measured 33.2 ms over the
+# [128, 31999, 512] conv-frontend output on v5e — pure VPU op count — while
+# this Horner form measures 15.1 ms for a <=1-bf16-ulp output difference.
+_ERF_POLY = (1.126774549484253, -0.3686739504337311, 0.10251989960670471,
+             -0.020142648369073868, 0.0027008887846022844,
+             -0.00023893950856290758, 1.3233010577096138e-05,
+             -4.136108486818557e-07, 5.55044232797286e-09)
+
+
+def erf_approx(x: jax.Array) -> jax.Array:
+    """f32 erf via x * P(x^2); |err| <= 3.4e-4 (well under bf16 rounding)."""
+    u = jnp.clip(x, -3.9, 3.9)
+    u2 = u * u
+    p = jnp.float32(_ERF_POLY[-1])
+    for c in _ERF_POLY[-2::-1]:
+        p = p * u2 + jnp.float32(c)
+    return u * p
+
+
+def fast_gelu(x: jax.Array) -> jax.Array:
+    """Exact-form gelu with the polynomial erf: 2.2x faster on the VPU,
+    <=1 bf16 ulp from jax.nn.gelu(approximate=False) after rounding."""
+    xf = x.astype(jnp.float32)
+    y = 0.5 * xf * (1.0 + erf_approx(xf * jnp.float32(2.0 ** -0.5)))
+    return y.astype(x.dtype)
+
+
 ACT = {
     "gelu": gelu,
+    "gelu_fast": fast_gelu,
     "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
     "relu": jax.nn.relu,
     "silu": jax.nn.silu,
     "tanh": jnp.tanh,
 }
+
+
+def resolve_act(name: str, impl: str = "auto"):
+    """Pick the activation; for gelu, `impl` selects the erf path:
+    "exact" -> XLA erf, "fast" -> polynomial erf, "auto" -> fast on TPU
+    (gelu is VPU-bound there; see _ERF_POLY note), exact on CPU so golden
+    parity tests stay bit-comparable to torch."""
+    if name == "gelu" and (impl == "fast" or
+                           (impl == "auto" and
+                            jax.default_backend() != "cpu")):
+        return fast_gelu
+    return ACT[name]
 
 
 def dropout(x: jax.Array, rate: float, rng: Optional[jax.Array],

@@ -30,7 +30,7 @@ import numpy as np
 from mtasr_tpu.config import WavLMConfig
 from mtasr_tpu.models.layers import (
     ACT, conv1d, conv1d_init, dropout, embedding_init, gelu, group_norm,
-    layer_norm, layer_norm_init, linear, linear_init,
+    layer_norm, layer_norm_init, linear, linear_init, resolve_act,
 )
 from mtasr_tpu.ops.attention import dot_product_attention
 from mtasr_tpu.ops.relpos import gated_position_bias, relative_position_bucket
@@ -166,11 +166,51 @@ def feature_vector_attention_mask(cfg: WavLMConfig, T: int,
 # ---------------------------------------------------------------------------
 # forward blocks
 # ---------------------------------------------------------------------------
+def _conv0_fast_path(cfg: WavLMConfig, B: int, S: int) -> bool:
+    impl = getattr(cfg, "conv0_impl", "auto")
+    if impl == "xla":
+        return False
+    if impl == "auto" and jax.default_backend() == "cpu":
+        return False
+    from mtasr_tpu.ops.pallas.conv_frontend import supported
+    return supported(cfg.conv_kernel[0], cfg.conv_stride[0], 1,
+                     cfg.conv_dim[0], B, S)
+
+
 def feature_encoder(p: dict, cfg: WavLMConfig, input_values: jax.Array) -> jax.Array:
     """[B, S] waveform -> [B, T, conv_dim[-1]] at 50 Hz."""
-    act = ACT[cfg.feat_extract_activation]
-    x = input_values[:, :, None]  # [B, S, 1]
+    act = resolve_act(cfg.feat_extract_activation,
+                      getattr(cfg, "gelu_impl", "auto"))
+    B, S = input_values.shape
+    start = 0
+    if _conv0_fast_path(cfg, B, S):
+        # fused Pallas layer 0 (see ops/pallas/conv_frontend.py: XLA runs
+        # this k=10/s=5/C_in=1 conv at 0.8 TF/s — 53 ms of the 146 ms
+        # frontend at the bench shape; the kernel measures ~29 ms)
+        from mtasr_tpu.ops.pallas.conv_frontend import conv0_fused
+        lp = p["conv_layers"]["0"]
+        fuse_ln = (cfg.feat_extract_norm == "layer"
+                   and cfg.feat_extract_activation == "gelu")
+        x = conv0_fused(
+            input_values, lp["conv"]["weight"], lp["conv"].get("bias"),
+            lp["layer_norm"]["weight"] if fuse_ln else None,
+            lp["layer_norm"]["bias"] if fuse_ln else None,
+            stride=cfg.conv_stride[0], fuse_ln=fuse_ln, fuse_act=fuse_ln,
+            interpret=jax.default_backend() == "cpu")
+        if not fuse_ln:
+            if cfg.feat_extract_norm == "layer":
+                x = layer_norm(lp["layer_norm"], x)
+            elif cfg.feat_extract_norm == "group":
+                x = jnp.swapaxes(
+                    group_norm(lp["layer_norm"], jnp.swapaxes(x, 1, 2),
+                               num_groups=cfg.conv_dim[0]), 1, 2)
+            x = act(x)
+        start = 1
+    else:
+        x = input_values[:, :, None]  # [B, S, 1]
     for i, (k, s) in enumerate(zip(cfg.conv_kernel, cfg.conv_stride)):
+        if i < start:
+            continue
         lp = p["conv_layers"][str(i)]
         x = conv1d(lp["conv"], x, stride=s, impl=cfg.conv_impl)
         if cfg.feat_extract_norm == "layer":
@@ -235,7 +275,9 @@ def _wavlm_attention(p: dict, cfg: WavLMConfig, x: jax.Array,
 
 def _feed_forward(p: dict, cfg: WavLMConfig, x: jax.Array, deterministic,
                   rng) -> jax.Array:
-    act = ACT[cfg.hidden_act]
+    # gelu here runs over [B, T, intermediate] x N layers — 4.7e9 elements
+    # at the bench shape, VPU-bound; the polynomial-erf path halves it
+    act = resolve_act(cfg.hidden_act, getattr(cfg, "gelu_impl", "auto"))
     r1 = r2 = None
     if rng is not None:
         rng, r1, r2 = jax.random.split(rng, 3)
