@@ -235,18 +235,11 @@ def main():
             f"remaining budget {_remaining():.0f}s < 150s")
         _emit(rtfx, extras)
 
-    # -- extra 3: full int8 serving (encoder transformer also w8a8) ---------
-    # the B=128 encoder is compute-bound (~65% MFU bf16 proj/MLP), so int8
-    # rides the MXU's 2x int8 throughput on top of extra 2's decode win
-    if qparams is not None and _remaining() > 250:
-        try:
-            from mtasr_tpu.utils.quantize import quantize_encoder_for_serving
-            qall = quantize_encoder_for_serving(qparams, mode="w8a8")
-            extras["rtfx_int8_e2e"] = round(_decode_rtfx(
-                jax, jnp, cfg, qall, B, secs, max_new, kv_quant=True), 2)
-        except Exception as e:
-            extras["int8_e2e_bench_error"] = str(e)[:200]
-        _emit(rtfx, extras)
+    # (former extra 3 — encoder w8a8 e2e — removed: measured a REGRESSION
+    # vs bf16 encoder + int8 decoder (957 vs 973 RTFx): v5e int8 matmul is
+    # only 1.4x bf16, not 2x (measured 219 TOPs vs 157 TFLOPs), so
+    # activation-quant overhead eats the gain. quantize_encoder_for_serving
+    # stays available as an opt-in; DESIGN.md records the numbers.)
 
 
 if __name__ == "__main__":

@@ -55,12 +55,22 @@ _BB = 32       # batch rows per program
 
 def supported(kernel: int, stride: int, in_dim: int, out_dim: int,
               batch: int, n_samples: int) -> bool:
-    return (in_dim == 1 and kernel == 2 * stride
+    if not (in_dim == 1 and kernel == 2 * stride
             and (_F * stride) % 128 == 0
             and out_dim % 128 == 0
             and n_samples % 128 == 0
-            and n_samples >= _F * stride + 128
-            and (n_samples - kernel) // stride + 1 >= 1)
+            and n_samples >= _F * stride + 128):
+        return False
+    # Every grid tile's main input block ([_F*stride] samples at offset
+    # t*_F*stride) must be fully in bounds: a partially out-of-range block
+    # is DMA-padded with undefined values, and the window-selection matmul
+    # contracts over ALL block columns — 0 x NaN = NaN would poison even
+    # the tile's valid frames. (10 s x 16 kHz = 160 000 is 640-aligned.)
+    t_out = (n_samples - kernel) // stride + 1
+    if t_out < 1:
+        return False
+    n_t = -(-t_out // _F)
+    return n_t * _F * stride <= n_samples
 
 
 def _erf(x):
@@ -109,12 +119,17 @@ def _kernel(xm_ref, xt_ref, d_ref, a_ref, b_ref, g_ref, bt_ref, o_ref, *,
 def _conv0_xla(wave, weight, bias, gamma, beta, stride, eps,
                fuse_ln, fuse_act):
     """The identical math as plain XLA ops — backward path + golden ref.
-    bias/gamma/beta are always arrays here (zeros/ones when unused)."""
+    bias/gamma/beta are always arrays here (zeros/ones when unused).
+
+    Both conv operands are cast to f32 (not bf16 + preferred f32): the
+    conv vjp builds transposed convs mixing the f32 cotangent with the
+    bf16 operand, which XLA rejects with a dtype mismatch. Values are
+    bf16-representable so the f32 products are exact either way."""
     y = lax.conv_general_dilated(
-        wave[:, :, None], jnp.transpose(weight, (2, 1, 0)).astype(wave.dtype),
+        wave[:, :, None].astype(jnp.float32),
+        jnp.transpose(weight, (2, 1, 0)).astype(jnp.float32),
         window_strides=(stride,), padding=[(0, 0)],
-        dimension_numbers=("NHC", "HIO", "NHC"),
-        preferred_element_type=jnp.float32)
+        dimension_numbers=("NHC", "HIO", "NHC"))
     y = y + bias.astype(jnp.float32)
     if fuse_ln:
         mu = y.mean(-1, keepdims=True)
@@ -203,5 +218,12 @@ def conv0_fused(wave: jax.Array,              # [B, S]
         gamma = jnp.ones((O,), jnp.float32)
     if beta is None:
         beta = jnp.zeros((O,), jnp.float32)
+    if not supported(weight.shape[2], stride, weight.shape[1], O,
+                     wave.shape[0], wave.shape[1]):
+        # Defensive: callers gate on supported() already (wavlm.py:175),
+        # but a direct call with an unaligned S must not silently read
+        # out-of-bounds blocks (NaN in valid tail frames).
+        return _conv0_xla(wave, weight, bias, gamma, beta, stride, eps,
+                          fuse_ln, fuse_act)
     return _conv0_p(wave, weight, bias, gamma, beta, stride, eps, fuse_ln,
                     fuse_act, interpret)

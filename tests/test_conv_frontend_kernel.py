@@ -32,6 +32,25 @@ def test_supported_geometry():
     assert supported(10, 5, 1, 512, 128, 160000)
     assert not supported(3, 2, 512, 512, 128, 160000)   # layer 1 geometry
     assert not supported(10, 5, 1, 512, 128, 160001)    # unaligned S
+    # 128-aligned but the last 128-frame tile's 640-sample input block
+    # would overrun the array (DMA pads with undefined values and the
+    # selection matmul contracts over the whole block -> NaN poison):
+    assert not supported(10, 5, 1, 512, 128, 768)
+    assert not supported(10, 5, 1, 512, 128, 3968)
+
+
+def test_conv0_fused_unsupported_s_falls_back():
+    """A direct conv0_fused call with an unaligned S must take the XLA
+    fallback (never a partially out-of-bounds Pallas grid): finite output,
+    exact parity with the golden composition."""
+    wave, w, b, gamma, beta = _inputs()
+    wave = jax.random.normal(jax.random.PRNGKey(9), (B, 3968), jnp.float32)
+    out = conv0_fused(wave, w, b, gamma, beta, stride=STRIDE,
+                      fuse_ln=True, fuse_act=True)
+    ref = _conv0_xla(wave, w, b, gamma, beta, STRIDE, 1e-5, True, True)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
 
 
 @pytest.mark.parametrize("bias", [True, False])
