@@ -48,17 +48,21 @@ class KVCache:
     slot).
 
     int8 mode (init(..., quantized=True)): k/v buffers are int8 with
-    per-(batch, position, head) symmetric scales in k_scale/v_scale
-    ([B, S_max, H_kv] f32 — position on the SUBLANE axis: storing the
-    Pallas kernel's transposed [B, H_kv, S] layout natively was measured
-    ~30% slower end-to-end, because the per-step scale write then updates
-    a single LANE column, a read-modify-write of every tile in the
-    buffer; the kernel instead takes a cheap per-step swapaxes). At long context the decode step is KV-bandwidth
-    bound (B=128, L~650: ~2.7 GB of KV reads/step vs 2.5 GB of weights), so
-    halving KV bytes attacks the dominant stream; scales add D/4 overhead
-    (6% at D=64). Dequant happens in-register inside the attention einsum —
-    it is loop-variant, so XLA cannot hoist-and-materialize it the way it
-    did the weight-only int8 dequant (DESIGN.md round 1)."""
+    per-(batch, position, head) symmetric scales in k_scale/v_scale,
+    stored TRANSPOSED as [B, H_kv, S_max] f32 — the Pallas decode
+    kernel's required layout, so no per-step swapaxes sits between the
+    cache and the kernel. Measured note (v5e, B=128, S=761, w8a8+int8):
+    this is perf-NEUTRAL vs the round-3a [B, S_max, H_kv] storage +
+    per-step swapaxes (7.14 ms/step both ways) — XLA's layout assignment
+    already kept the logical [*, H_kv=8]-minor array in an S-minor
+    physical layout, so the feared 16x lane-padding traffic never
+    existed; the transposed storage is kept because it is strictly
+    simpler (the kernel consumes the buffer as stored). At long context
+    the decode step is KV-bandwidth bound (B=128, L~650: ~2.7 GB of KV
+    reads/step bf16 vs 2.5 GB of weights), so halving KV bytes attacks
+    the dominant stream. Dequant happens in-register inside the attention
+    kernel — the K scale folds into the scores, the V scale into the
+    softmax probs, so no dequantized cache ever materializes."""
     k: Tuple[jax.Array, ...]
     v: Tuple[jax.Array, ...]
     valid: jax.Array
@@ -71,7 +75,7 @@ class KVCache:
         shape = (batch, max_len, cfg.num_key_value_heads * cfg.head_dim_)
         n = cfg.num_hidden_layers
         if quantized:
-            sshape = (batch, max_len, cfg.num_key_value_heads)
+            sshape = (batch, cfg.num_key_value_heads, max_len)
             return cls(
                 k=tuple(jnp.zeros(shape, jnp.int8) for _ in range(n)),
                 v=tuple(jnp.zeros(shape, jnp.int8) for _ in range(n)),
@@ -236,18 +240,22 @@ def _attention(p: dict, cfg: LlamaConfig, x: jax.Array,
                 buf_k, k8.reshape(B_, L_, Hkv_ * D_), (0, cache_offset, 0))
             v_all = jax.lax.dynamic_update_slice(
                 buf_v, v8.reshape(B_, L_, Hkv_ * D_), (0, cache_offset, 0))
+            # scales are stored transposed [B, Hkv, S] (see KVCache); the
+            # swapaxes here fuses into the _quantize_kv producer
             ks_all = jax.lax.dynamic_update_slice(
-                kv_cache.k_scale[layer_idx], ks, (0, cache_offset, 0))
+                kv_cache.k_scale[layer_idx], jnp.swapaxes(ks, 1, 2),
+                (0, 0, cache_offset))
             vs_all = jax.lax.dynamic_update_slice(
-                kv_cache.v_scale[layer_idx], vs, (0, cache_offset, 0))
+                kv_cache.v_scale[layer_idx], jnp.swapaxes(vs, 1, 2),
+                (0, 0, cache_offset))
             new_ks = (kv_cache.k_scale[:layer_idx] + (ks_all,)
                       + kv_cache.k_scale[layer_idx + 1:])
             new_vs = (kv_cache.v_scale[:layer_idx] + (vs_all,)
                       + kv_cache.v_scale[layer_idx + 1:])
             k_use = (k_all.reshape(B_, S_all, Hkv_, D_).astype(x.dtype)
-                     * ks_all[..., None].astype(x.dtype))
+                     * jnp.swapaxes(ks_all, 1, 2)[..., None].astype(x.dtype))
             v_use = (v_all.reshape(B_, S_all, Hkv_, D_).astype(x.dtype)
-                     * vs_all[..., None].astype(x.dtype))
+                     * jnp.swapaxes(vs_all, 1, 2)[..., None].astype(x.dtype))
         else:
             k_all = jax.lax.dynamic_update_slice(
                 buf_k, k.astype(buf_k.dtype).reshape(B_, L_, Hkv_ * D_),

@@ -138,9 +138,13 @@ def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
 def _kernel_int8(mask_ref, ks_ref, vs_ref, q_ref, k_ref, v_ref, o_ref,
                  *, Bb, S, Hkv, G, D):
     """int8-KV variant. k/v blocks are int8 [Bb, S, Hkv*D]; per-slot
-    symmetric scales arrive pre-transposed as [Bb, Hkv, S] f32 so each
-    head's scale row is a sublane slice (a [Bb, S] -> [Bb, 1, S] reshape
-    would be an unsupported Mosaic shape cast). Dequant never materializes:
+    symmetric scales arrive in the cache's native transposed [Bb, Hkv, S]
+    f32 layout, so each head's scale row is a sublane slice (a
+    [Bb, S] -> [Bb, 1, S] reshape would be an unsupported Mosaic shape
+    cast) and no transpose copy sits between cache and kernel (measured
+    perf-neutral vs swapaxes-per-step — XLA already stored the logical
+    [B, S, Hkv] array S-minor — but strictly simpler). Dequant never
+    materializes:
     the K scale folds into the scores and the V scale folds into the
     softmax probabilities, so the int8 halving of HBM traffic is kept
     end-to-end (the round-2 XLA path dequantized to bf16 in-register but
@@ -177,7 +181,8 @@ def decode_attention_int8(q: jax.Array, k_cache: jax.Array,
     Args:
       q: [B, Hq, D] queries (bf16/f32).
       k_cache, v_cache: [B, S, Hkv*D] int8 merged-lane buffers.
-      k_scale, v_scale: [B, S, Hkv] f32 symmetric scales.
+      k_scale, v_scale: [B, Hkv, S] f32 symmetric scales (the cache's
+        native transposed layout — see models/llama.py::KVCache).
       mask: [B, S] bool.
 
     Returns: [B, Hq, D] in q's dtype.
@@ -189,8 +194,7 @@ def decode_attention_int8(q: jax.Array, k_cache: jax.Array,
     Bb = _pick_bb(B, S, HD, itemsize=1)
     kern = functools.partial(_kernel_int8, Bb=Bb, S=S, Hkv=Hkv, G=G, D=D)
     bias = jnp.where(mask, 0.0, -1e9).astype(jnp.float32)[:, None, :]
-    ks_t = jnp.swapaxes(k_scale, 1, 2)                # [B, Hkv, S]
-    vs_t = jnp.swapaxes(v_scale, 1, 2)
+    ks_t, vs_t = k_scale, v_scale                     # [B, Hkv, S]
     out = pl.pallas_call(
         kern,
         grid=(B // Bb,),

@@ -71,8 +71,11 @@ def test_int8_kernel_matches_dequantized_xla():
     v = v8.astype(jnp.float32) * vs[..., None]
     ref = dot_product_attention(q[:, None], k, v,
                                 mask=mask[:, None, None, :])[:, 0]
+    # scales are passed in the cache's native transposed [B, Hkv, S] layout
     got = decode_attention_int8(q, k8.reshape(B, S, Hkv * D),
-                                v8.reshape(B, S, Hkv * D), ks, vs, mask,
+                                v8.reshape(B, S, Hkv * D),
+                                jnp.swapaxes(ks, 1, 2),
+                                jnp.swapaxes(vs, 1, 2), mask,
                                 interpret=True)
     # kernel matmuls run bf16 on the MXU; interpret mode mirrors that
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),

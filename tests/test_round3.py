@@ -69,7 +69,7 @@ def test_int8_kv_cache_keeps_scales_and_quantized_values():
     k0 = np.asarray(cache.k[0][:, :12])
     assert k0.dtype == np.int8
     assert np.abs(k0).max() > 10, "int8 keys look truncated, not quantized"
-    s0 = np.asarray(cache.k_scale[0][:, :12])
+    s0 = np.asarray(cache.k_scale[0][:, :, :12])   # [B, Hkv, S] layout
     assert (s0 > 0).all(), "written cache slots must carry positive scales"
 
 
