@@ -161,7 +161,11 @@ def main():
                                  attention_dropout=0.0, activation_dropout=0.0,
                                  attention_impl="flash")
         dec = llama_1b_config(vocab_size=128264)  # specials resized in
-        B, secs, max_new = 128, 10, 150
+        # B=256: decode is weight-stream bound, so doubling the batch
+        # amortizes the 1.24-2.5 GB/step weight read over 2x the audio
+        # (measured on v5e: bf16 952.6 -> 1060.8 RTFx, w8a8+int8KV
+        # 1058 -> 1166.1; KV cache + activations still fit the 16 GB HBM)
+        B, secs, max_new = 256, 10, 150
         train_B = 16
     else:
         enc = wavlm_large_config(num_hidden_layers=2, mask_time_prob=0.0,

@@ -26,6 +26,7 @@ Set MTASR_FLASH_XLA_BWD=1 to fall back to the XLA-recompute vjp.
 from __future__ import annotations
 
 import functools
+import math
 import os
 from typing import Optional
 
@@ -130,42 +131,59 @@ def _flash_kernel_1s(kv_len_ref, q_ref, k_ref, v_ref, pos_bias_ref,
     more than the head-split transpose this layout pays outside.)"""
     b = pl.program_id(2)
     q = q_ref[:]                               # [A, bq, D]
-    k = k_ref[:]                               # [A, S, D]
-    v = v_ref[:]
-
     kv_len = kv_len_ref[b]
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (A, S, 1), 1)
-    row_ok = row_ids < kv_len
-    k = jnp.where(row_ok, k, 0.0)
-    v = jnp.where(row_ok, v, 0.0)
 
-    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
-                            preferred_element_type=jnp.float32) * scale
+    def _body(masked):
+        k = k_ref[:]                           # [A, S, D]
+        v = v_ref[:]
+        if masked:
+            # zero out-of-range key rows: slots in [kv_len, S) hold
+            # stale/pad junk that would otherwise poison p @ v
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (A, S, 1), 1)
+            row_ok = row_ids < kv_len
+            k = jnp.where(row_ok, k, 0.0)
+            v = jnp.where(row_ok, v, 0.0)
 
-    if with_bias:
-        pb = pos_bias_ref[:].astype(jnp.float32)           # [A, bq, S]
-        g = gate_ref[:].astype(jnp.float32)                # [A, 1, bq]
-        s = s + jnp.swapaxes(g, 1, 2) * pb
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        if scale != 1.0:                       # pow2 scales pre-fold into q
+            s = s * scale
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (A, block_q, S), 2)
-    valid = col < kv_len
+        if with_bias:
+            pb = pos_bias_ref[:].astype(jnp.float32)       # [A, bq, S]
+            g = gate_ref[:].astype(jnp.float32)            # [A, 1, bq]
+            s = s + jnp.swapaxes(g, 1, 2) * pb
+
+        if masked or causal:
+            col = jax.lax.broadcasted_iota(jnp.int32, (A, block_q, S), 2)
+            valid = col < kv_len
+            if causal:
+                row = (pl.program_id(1) * block_q + q_offset
+                       + jax.lax.broadcasted_iota(
+                           jnp.int32, (A, block_q, S), 1))
+                valid = valid & (col <= row)
+            s = jnp.where(valid, s, NEG_INF)
+
+        m = jnp.max(s, axis=-1, keepdims=True)             # [A, bq, 1]
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        denom = jnp.where(l == 0.0, 1.0, l)
+        out = jax.lax.dot_general(p.astype(v.dtype), v,
+                                  (((2,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
+        o_ref[:] = (out / denom).astype(o_ref.dtype)
+        lse = m + jnp.log(jnp.maximum(l, 1e-30))
+        lse = jnp.where(l == 0.0, NEG_INF, lse)
+        lse_ref[:] = jnp.swapaxes(lse, 1, 2)               # [A, 1, bq]
+
     if causal:
-        row = (pl.program_id(1) * block_q + q_offset
-               + jax.lax.broadcasted_iota(jnp.int32, (A, block_q, S), 1))
-        valid = valid & (col <= row)
-    s = jnp.where(valid, s, NEG_INF)
-
-    m = jnp.max(s, axis=-1, keepdims=True)                 # [A, bq, 1]
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    denom = jnp.where(l == 0.0, 1.0, l)
-    out = jax.lax.dot_general(p.astype(v.dtype), v,
-                              (((2,), (1,)), ((0,), (0,))),
-                              preferred_element_type=jnp.float32)
-    o_ref[:] = (out / denom).astype(o_ref.dtype)
-    lse = m + jnp.log(jnp.maximum(l, 1e-30))
-    lse = jnp.where(l == 0.0, NEG_INF, lse)
-    lse_ref[:] = jnp.swapaxes(lse, 1, 2)                   # [A, 1, bq]
+        _body(masked=True)
+    else:
+        # full-length rows (every slot in [0, S) is real data — the common
+        # case for bucketed batches) skip the key zeroing and the validity
+        # mask entirely: ~5 fewer VPU passes over [A, bq, S] per program
+        pl.when(kv_len >= S)(lambda: _body(masked=False))
+        pl.when(kv_len < S)(lambda: _body(masked=True))
 
 
 def _flash_forward_1s(q, k, v, kv_lens, pos_bias, gate, scale, causal,
@@ -181,6 +199,17 @@ def _flash_forward_1s(q, k, v, kv_lens, pos_bias, gate, scale, causal,
              and 2 * a * (3 * S * 128 + block_q * S) * 2 <= 12 * 1024 * 1024)
     block_q = min(block_q, T)
 
+    # pre-fold an exactly-representable power-of-two scale (D=64 -> 1/8)
+    # into q: one multiply over [B, T, Hq, D] (fused into the transpose)
+    # instead of an in-kernel VPU pass over every [A, bq, S] score block.
+    # Exact: bf16 mantissas are unchanged by pow2 scaling, and the MXU
+    # forms each bf16 x bf16 product exactly in f32, so (q/8) @ k is
+    # bit-identical to (q @ k)/8.
+    kernel_scale = float(scale)
+    frac = math.frexp(kernel_scale)[0] if kernel_scale > 0 else 0.0
+    if frac == 0.5:                            # scale is a power of two
+        q = q * jnp.asarray(kernel_scale, q.dtype)
+        kernel_scale = 1.0
     q_f = q.transpose(0, 2, 1, 3).reshape(B * Hq, T, D)
     k_f = k.transpose(0, 2, 1, 3).reshape(B * Hq, S, D)
     v_f = v.transpose(0, 2, 1, 3).reshape(B * Hq, S, D)
@@ -197,7 +226,7 @@ def _flash_forward_1s(q, k, v, kv_lens, pos_bias, gate, scale, causal,
         gate_f = jnp.zeros((1, 1, 128), q.dtype)
 
     kernel = functools.partial(
-        _flash_kernel_1s, scale=scale, causal=causal, q_offset=q_offset,
+        _flash_kernel_1s, scale=kernel_scale, causal=causal, q_offset=q_offset,
         block_q=block_q, S=S, A=A, with_bias=with_bias)
 
     # q_f rows are h-major within b: row index = b*Hq + h. A block of
