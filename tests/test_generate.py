@@ -155,3 +155,24 @@ def test_batches_group_by_prompt_length():
         pl = b.arrays["prompt_ids"]
         # every row in a batch shares one prompt layout (no pad mixing)
         assert (pl == pl[0]).all(), pl
+
+
+def test_generate_batch_invariance():
+    """Each row's decode must be independent of the batch it rides in
+    (guards the serving bench's large-batch default: a row decoded in a
+    B=4 batch must match the same row decoded in a B=2 batch). Covers
+    flash/XLA attention batching, KV-cache slotting, and eos masking."""
+    cfg = tiny_cfg(train_mode="attention")
+    params = init_model_params(jax.random.key(3), cfg)
+    wav, amask, _ = make_batch(cfg, B=2, S=8000, seed=11)
+    # B=4 batch = the same two rows duplicated (row i == row i+2)
+    wav4 = np.concatenate([wav, wav], axis=0)
+    amask4 = np.concatenate([amask, amask], axis=0)
+    gen = GenerationConfig(do_sample=False)
+    out2 = generate(params, cfg, jnp.asarray(wav), jnp.asarray(amask),
+                    gen=gen, max_new_tokens=8)
+    out4 = generate(params, cfg, jnp.asarray(wav4), jnp.asarray(amask4),
+                    gen=gen, max_new_tokens=8)
+    s2, s4 = np.asarray(out2.sequences), np.asarray(out4.sequences)
+    np.testing.assert_array_equal(s2, s4[:2])
+    np.testing.assert_array_equal(s2, s4[2:])
