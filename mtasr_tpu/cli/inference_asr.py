@@ -55,6 +55,11 @@ def build_argparser():
     p.add_argument("--kv_quant", action="store_true",
                    help="int8 KV cache (per-token-per-head scales); halves "
                         "the dominant HBM stream of long-context decode")
+    p.add_argument("--encode_chunk", type=int, default=None,
+                   help="encode the batch in chunks of this many rows "
+                        "(bounds the conv frontend's peak HBM so the "
+                        "decode batch can exceed what single-pass encode "
+                        "allows)")
     p.add_argument("--quantize_scope", type=str, default="decoder",
                    choices=["decoder", "all"],
                    help="'decoder' quantizes the weight-bound decode loop; "
@@ -156,7 +161,8 @@ def main(argv=None):
     gen = GenerationConfig(max_length=args.max_length,
                            do_sample=args.do_sample,
                            temperature=args.temperature, top_k=args.top_k,
-                           top_p=args.top_p, kv_quant=args.kv_quant)
+                           top_p=args.top_p, kv_quant=args.kv_quant,
+                           encode_chunk=args.encode_chunk)
 
     label_f = open(os.path.join(args.output_dir,
                                 f"label.{args.shard_index}"), "w")

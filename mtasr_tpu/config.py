@@ -404,6 +404,13 @@ class GenerationConfig:
     # int8 KV cache (per-token-per-head symmetric scales) — halves the
     # dominant HBM stream of the long-context decode step
     kv_quant: bool = False
+    # Encode the batch in chunks of this many rows (None = whole batch at
+    # once). Decode amortizes the per-step weight stream over the batch, so
+    # big decode batches pay; the encoder's conv frontend however
+    # materializes a [B, S/5, 512] intermediate (~8.4 GB bf16 at B=256,
+    # 10 s) that caps the single-pass batch. Chunked encode bounds the
+    # frontend's peak HBM while the decode still runs at full B.
+    encode_chunk: Optional[int] = None
 
 
 @dataclass

@@ -201,7 +201,21 @@ def generate(params, cfg: SpeechEncoderDecoderConfig,
         from mtasr_tpu.train.lora import merge_decoder_lora
         params = merge_decoder_lora(params)
 
-    enc = _encode_jit(params, cfg, input_values, audio_mask)
+    chunk = gen.encode_chunk
+    if chunk is not None and 0 < chunk < B:
+        # bound the encoder's peak HBM (conv-frontend intermediates scale
+        # with rows) while decoding at full B; same compiled encode program
+        # serves every full-size chunk. Chunk-invariant by construction:
+        # the encoder has no cross-row coupling (test_generate.py pins
+        # batch invariance of the whole pipeline).
+        encs = []
+        for i in range(0, B, chunk):
+            m = audio_mask[i:i + chunk] if audio_mask is not None else None
+            encs.append(_encode_jit(params, cfg, input_values[i:i + chunk], m))
+        enc = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *encs)
+    else:
+        enc = _encode_jit(params, cfg, input_values, audio_mask)
     bos = jnp.full((B, 1), cfg.decoder_start_token_id, jnp.int32)
     if cfg.instruct:
         if prompt_ids is None:

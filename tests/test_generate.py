@@ -176,3 +176,23 @@ def test_generate_batch_invariance():
     s2, s4 = np.asarray(out2.sequences), np.asarray(out4.sequences)
     np.testing.assert_array_equal(s2, s4[:2])
     np.testing.assert_array_equal(s2, s4[2:])
+
+
+def test_generate_encode_chunk_matches_unchunked():
+    """gen.encode_chunk bounds the encoder's peak HBM by encoding the batch
+    in chunks while decoding at full B — output must be identical to the
+    single-pass encode (serving uses this to push the decode batch past
+    what the conv frontend's intermediates allow in one pass)."""
+    cfg = tiny_cfg(train_mode="attention")
+    params = init_model_params(jax.random.key(5), cfg)
+    wav, amask, _ = make_batch(cfg, B=4, S=8000, seed=13)
+    base = generate(params, cfg, jnp.asarray(wav), jnp.asarray(amask),
+                    gen=GenerationConfig(do_sample=False), max_new_tokens=6)
+    # chunk=3 exercises the ragged tail (chunks of 3 and 1)
+    for chunk in (2, 3):
+        out = generate(params, cfg, jnp.asarray(wav), jnp.asarray(amask),
+                       gen=GenerationConfig(do_sample=False,
+                                            encode_chunk=chunk),
+                       max_new_tokens=6)
+        np.testing.assert_array_equal(np.asarray(base.sequences),
+                                      np.asarray(out.sequences))
