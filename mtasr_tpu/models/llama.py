@@ -252,10 +252,18 @@ def _attention(p: dict, cfg: LlamaConfig, x: jax.Array,
                       + kv_cache.k_scale[layer_idx + 1:])
             new_vs = (kv_cache.v_scale[:layer_idx] + (vs_all,)
                       + kv_cache.v_scale[layer_idx + 1:])
-            k_use = (k_all.reshape(B_, S_all, Hkv_, D_).astype(x.dtype)
-                     * jnp.swapaxes(ks_all, 1, 2)[..., None].astype(x.dtype))
-            v_use = (v_all.reshape(B_, S_all, Hkv_, D_).astype(x.dtype)
-                     * jnp.swapaxes(vs_all, 1, 2)[..., None].astype(x.dtype))
+            # dequantized views for the XLA fallback path only — built
+            # lazily so the Pallas branch's program never contains them
+            # (trusting DCE here is not enough: even dead, they can block
+            # in-place DUS on the carried int8 buffers during layout
+            # assignment)
+            def k_use(k_all=k_all, ks_all=ks_all):
+                return (k_all.reshape(B_, S_all, Hkv_, D_).astype(x.dtype)
+                        * jnp.swapaxes(ks_all, 1, 2)[..., None].astype(x.dtype))
+
+            def v_use(v_all=v_all, vs_all=vs_all):
+                return (v_all.reshape(B_, S_all, Hkv_, D_).astype(x.dtype)
+                        * jnp.swapaxes(vs_all, 1, 2)[..., None].astype(x.dtype))
         else:
             k_all = jax.lax.dynamic_update_slice(
                 buf_k, k.astype(buf_k.dtype).reshape(B_, L_, Hkv_ * D_),
@@ -264,14 +272,22 @@ def _attention(p: dict, cfg: LlamaConfig, x: jax.Array,
                 buf_v, v.astype(buf_v.dtype).reshape(B_, L_, Hkv_ * D_),
                 (0, cache_offset, 0))
             new_ks, new_vs = kv_cache.k_scale, kv_cache.v_scale
-            k_use = k_all.reshape(B_, S_all, Hkv_, D_).astype(x.dtype)
-            v_use = v_all.reshape(B_, S_all, Hkv_, D_).astype(x.dtype)
+
+            def k_use(k_all=k_all):
+                return k_all.reshape(B_, S_all, Hkv_, D_).astype(x.dtype)
+
+            def v_use(v_all=v_all):
+                return v_all.reshape(B_, S_all, Hkv_, D_).astype(x.dtype)
         new_k = kv_cache.k[:layer_idx] + (k_all,) + kv_cache.k[layer_idx + 1:]
         new_v = kv_cache.v[:layer_idx] + (v_all,) + kv_cache.v[layer_idx + 1:]
         kv_cache = KVCache(k=new_k, v=new_v, valid=kv_cache.valid,
                            k_scale=new_ks, v_scale=new_vs)
     else:
-        k_use, v_use = k, v
+        def k_use():
+            return k
+
+        def v_use():
+            return v
 
     # Decode-step fast path: fused Pallas attention reading the merged-lane
     # cache buffers directly (no transposed cache copies — the XLA einsum
@@ -287,9 +303,9 @@ def _attention(p: dict, cfg: LlamaConfig, x: jax.Array,
             # "pallas_interpret" forces the kernel for parity tests
             and (not on_cpu or impl == "pallas_interpret")):
         if kv_cache.k_scale is not None:
-            # int8 cache: scales fold into scores/probs inside the kernel,
-            # so the dequantized k_use/v_use above are dead code (DCE'd)
-            # and HBM sees only the int8 stream
+            # int8 cache: scales fold into scores/probs inside the kernel;
+            # the dequantized k_use/v_use closures are never called, so
+            # HBM sees only the int8 stream
             from mtasr_tpu.ops.pallas.decode_attention import (
                 decode_attention_int8,
             )
@@ -303,7 +319,7 @@ def _attention(p: dict, cfg: LlamaConfig, x: jax.Array,
             out = decode_attention(q[:, 0], k_all, v_all, mask[:, 0, 0, :],
                                    interpret=on_cpu)[:, None]
     else:
-        out = dot_product_attention(q, k_use, v_use, mask=mask,
+        out = dot_product_attention(q, k_use(), v_use(), mask=mask,
                                     scale=D ** -0.5)
     out = out.reshape(B, L, -1)
     ab_o = lora_layer.get("o_proj") if lora_layer is not None else None

@@ -141,34 +141,45 @@ def _kernel_int8(mask_ref, ks_ref, vs_ref, q_ref, k_ref, v_ref, o_ref,
     symmetric scales arrive in the cache's native transposed [Bb, Hkv, S]
     f32 layout, so each head's scale row is a sublane slice (a
     [Bb, S] -> [Bb, 1, S] reshape would be an unsupported Mosaic shape
-    cast) and no transpose copy sits between cache and kernel (measured
-    perf-neutral vs swapaxes-per-step — XLA already stored the logical
-    [B, S, Hkv] array S-minor — but strictly simpler). Dequant never
-    materializes:
-    the K scale folds into the scores and the V scale folds into the
-    softmax probabilities, so the int8 halving of HBM traffic is kept
-    end-to-end (the round-2 XLA path dequantized to bf16 in-register but
-    still paid transposed-copy traffic)."""
+    cast) and no transpose copy sits between cache and kernel. Dequant
+    never materializes — and neither does a bf16 copy of the cache: both
+    matmuls run NATIVELY int8 x int8 -> int32 on the MXU. The first
+    version of this kernel astype'd the full k/v blocks to bf16 in VMEM,
+    a VPU pass over every cache byte (~150 us/layer at the bench shape)
+    that made the int8 cache measurably SLOWER than the bf16 cache
+    (decode-step matrix, DESIGN.md round 3b). Instead the tiny per-step
+    operands are quantized to meet the cache's dtype: q per (row, head)
+    and the v-scale-folded softmax probs per (row, query) — both
+    [Bb, G, *] arrays, ~1000x smaller than the cache blocks. The K scale
+    folds into the scores and the V scale into the probs before their
+    quantization, so HBM and VMEM both see only the int8 stream."""
     bias = mask_ref[:]                                # [Bb, 1, S] f32
     scale = D ** -0.5
     for h in range(Hkv):
-        k_h = k_ref[:, :, h * D:(h + 1) * D].astype(jnp.bfloat16)
-        v_h = v_ref[:, :, h * D:(h + 1) * D].astype(jnp.bfloat16)
+        k_h = k_ref[:, :, h * D:(h + 1) * D]          # [Bb, S, D] int8
+        v_h = v_ref[:, :, h * D:(h + 1) * D]
         ks_h = ks_ref[:, h:h + 1, :]                  # [Bb, 1, S]
         vs_h = vs_ref[:, h:h + 1, :]
-        q_h = q_ref[:, h * G:(h + 1) * G, :]          # [Bb, G, D]
-        scores = jax.lax.dot_general(
-            q_h.astype(jnp.bfloat16), k_h, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        scores = scores * (ks_h * scale) + bias
+        q_h = q_ref[:, h * G:(h + 1) * G, :].astype(jnp.float32)
+        # dynamic per-(row, query) symmetric quantization of q
+        sq = jnp.max(jnp.abs(q_h), axis=-1, keepdims=True) / 127.0
+        sq = jnp.maximum(sq, 1e-12)
+        q8 = jnp.clip(jnp.round(q_h / sq), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            q8, k_h, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)         # [Bb, G, S]
+        scores = acc.astype(jnp.float32) * (sq * scale) * ks_h + bias
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        p = (p * vs_h).astype(jnp.bfloat16)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)) * vs_h
+        sp = jnp.max(p, axis=-1, keepdims=True) / 127.0   # p >= 0
+        sp = jnp.maximum(sp, 1e-12)
+        p8 = jnp.clip(jnp.round(p / sp), -127, 127).astype(jnp.int8)
         out = jax.lax.dot_general(
-            p, v_h, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        o_ref[:, h * G:(h + 1) * G, :] = out.astype(o_ref.dtype)
+            p8, v_h, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)         # [Bb, G, D]
+        o_ref[:, h * G:(h + 1) * G, :] = (
+            out.astype(jnp.float32) * sp).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
