@@ -153,33 +153,64 @@ def _kernel_int8(mask_ref, ks_ref, vs_ref, q_ref, k_ref, v_ref, o_ref,
     [Bb, G, *] arrays, ~1000x smaller than the cache blocks. The K scale
     folds into the scores and the V scale into the probs before their
     quantization, so HBM and VMEM both see only the int8 stream."""
+    HD = Hkv * D
+    Hq = Hkv * G
     bias = mask_ref[:]                                # [Bb, 1, S] f32
     scale = D ** -0.5
-    for h in range(Hkv):
-        k_h = k_ref[:, :, h * D:(h + 1) * D]          # [Bb, S, D] int8
-        v_h = v_ref[:, :, h * D:(h + 1) * D]
-        ks_h = ks_ref[:, h:h + 1, :]                  # [Bb, 1, S]
-        vs_h = vs_ref[:, h:h + 1, :]
-        q_h = q_ref[:, h * G:(h + 1) * G, :].astype(jnp.float32)
-        # dynamic per-(row, query) symmetric quantization of q
-        sq = jnp.max(jnp.abs(q_h), axis=-1, keepdims=True) / 127.0
-        sq = jnp.maximum(sq, 1e-12)
-        q8 = jnp.clip(jnp.round(q_h / sq), -127, 127).astype(jnp.int8)
-        acc = jax.lax.dot_general(
-            q8, k_h, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32)         # [Bb, G, S]
-        scores = acc.astype(jnp.float32) * (sq * scale) * ks_h + bias
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)) * vs_h
-        sp = jnp.max(p, axis=-1, keepdims=True) / 127.0   # p >= 0
-        sp = jnp.maximum(sp, 1e-12)
-        p8 = jnp.clip(jnp.round(p / sp), -127, 127).astype(jnp.int8)
-        out = jax.lax.dot_general(
-            p8, v_h, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32)         # [Bb, G, D]
-        o_ref[:, h * G:(h + 1) * G, :] = (
-            out.astype(jnp.float32) * sp).astype(o_ref.dtype)
+    # Block-diagonal formulation: ONE dot chain over all heads per program
+    # instead of a per-head Python loop of [G, D] @ [D, S] matmuls. The
+    # per-head loop issues Hkv x Bb tiny (M=G=4) matmuls per program whose
+    # dispatch latency dominates (measured 3.55 -> 2.99 ms/step for the
+    # 16-layer decode attention at B=256, S=214). Here q is expanded to a
+    # block-diagonal [Bb, Hq, HD] (zero outside each query head's kv-head
+    # lane block), so contracting the FULL merged lane dim against the
+    # cache block computes every head's scores in one batched dot — the
+    # 8x redundant MACs hit zeros and the MXU was idle anyway. All
+    # expansions/extractions are themselves dots (Mosaic rejects the
+    # 2D->3D shape casts a reshape would need), and every int8 dot
+    # accumulates exactly in int32, so this is bitwise-identical to the
+    # per-head form.
+    q_ = q_ref[:].astype(jnp.float32)                 # [Bb, Hq, D]
+    # dynamic per-(row, query-head) symmetric quantization of q
+    sq = jnp.max(jnp.abs(q_), axis=-1, keepdims=True) / 127.0
+    sq = jnp.maximum(sq, 1e-12)
+    q8 = jnp.clip(jnp.round(q_ / sq), -127, 127).astype(jnp.int8)
+    # lane-expand [Bb, Hq, D] -> [Bb, Hq, HD] (E: D -> lane l = l % D)
+    E = (jax.lax.broadcasted_iota(jnp.int32, (D, HD), 1) % D
+         == jax.lax.broadcasted_iota(jnp.int32, (D, HD), 0)).astype(jnp.int8)
+    q_t = jax.lax.dot_general(q8, E, (((2,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    bd = (jax.lax.broadcasted_iota(jnp.int32, (Bb, Hq, HD), 2) // D
+          == jax.lax.broadcasted_iota(jnp.int32, (Bb, Hq, HD), 1) // G)
+    q_bd = jnp.where(bd, q_t, 0).astype(jnp.int8)
+    acc = jax.lax.dot_general(q_bd, k_ref[:], (((2,), (2,)), ((0,), (0,))),
+                              preferred_element_type=jnp.int32)  # [Bb,Hq,S]
+    # expand the per-kv-head scale rows to per-query-head rows (R is the
+    # 0/1 (h, kh) selection — again a dot, not a sublane repeat)
+    R = (jax.lax.broadcasted_iota(jnp.int32, (Bb, Hq, Hkv), 1) // G
+         == jax.lax.broadcasted_iota(jnp.int32, (Bb, Hq, Hkv), 2)
+         ).astype(jnp.float32)
+    ks_e = jax.lax.dot_general(R, ks_ref[:], (((2,), (1,)), ((0,), (0,))),
+                               preferred_element_type=jnp.float32)
+    vs_e = jax.lax.dot_general(R, vs_ref[:], (((2,), (1,)), ((0,), (0,))),
+                               preferred_element_type=jnp.float32)
+    scores = acc.astype(jnp.float32) * (sq * scale) * ks_e + bias
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    p = (e / jnp.sum(e, axis=-1, keepdims=True)) * vs_e
+    sp = jnp.max(p, axis=-1, keepdims=True) / 127.0   # p >= 0
+    sp = jnp.maximum(sp, 1e-12)
+    p8 = jnp.clip(jnp.round(p / sp), -127, 127).astype(jnp.int8)
+    full = jax.lax.dot_general(p8, v_ref[:], (((2,), (1,)), ((0,), (0,))),
+                               preferred_element_type=jnp.int32)  # [Bb,Hq,HD]
+    full = full.astype(jnp.float32) * bd.astype(jnp.float32)
+    # extract each head's D-lane block: sum the (single nonzero) block
+    Sel = (jax.lax.broadcasted_iota(jnp.int32, (HD, D), 0) % D
+           == jax.lax.broadcasted_iota(jnp.int32, (HD, D), 1)
+           ).astype(jnp.float32)
+    out = jax.lax.dot_general(full, Sel, (((2,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    o_ref[:] = (out * sp).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
