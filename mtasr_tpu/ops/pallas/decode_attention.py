@@ -135,13 +135,14 @@ def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     return out
 
 
-def _kernel_int8(mask_ref, ks_ref, vs_ref, q_ref, k_ref, v_ref, o_ref,
+def _kernel_int8(mask_ref, kvs_ref, q_ref, k_ref, v_ref, o_ref,
                  *, Bb, S, Hkv, G, D):
     """int8-KV variant. k/v blocks are int8 [Bb, S, Hkv*D]; per-slot
-    symmetric scales arrive in the cache's native transposed [Bb, Hkv, S]
-    f32 layout, so each head's scale row is a sublane slice (a
-    [Bb, S] -> [Bb, 1, S] reshape would be an unsupported Mosaic shape
-    cast) and no transpose copy sits between cache and kernel. Dequant
+    symmetric scales for both k and v arrive in ONE array in the cache's
+    native transposed [Bb, 2*Hkv, S] bf16 layout (k rows then v rows), so
+    each head's scale row is a sublane slice (a [Bb, S] -> [Bb, 1, S]
+    reshape would be an unsupported Mosaic shape cast) and no transpose
+    copy sits between cache and kernel. Dequant
     never materializes — and neither does a bf16 copy of the cache: both
     matmuls run NATIVELY int8 x int8 -> int32 on the MXU. The first
     version of this kernel astype'd the full k/v blocks to bf16 in VMEM,
@@ -190,9 +191,12 @@ def _kernel_int8(mask_ref, ks_ref, vs_ref, q_ref, k_ref, v_ref, o_ref,
     R = (jax.lax.broadcasted_iota(jnp.int32, (Bb, Hq, Hkv), 1) // G
          == jax.lax.broadcasted_iota(jnp.int32, (Bb, Hq, Hkv), 2)
          ).astype(jnp.float32)
-    ks_e = jax.lax.dot_general(R, ks_ref[:], (((2,), (1,)), ((0,), (0,))),
+    kvs = kvs_ref[:].astype(jnp.float32)              # [Bb, 2*Hkv, S]
+    ks_e = jax.lax.dot_general(R, kvs[:, :Hkv, :],
+                               (((2,), (1,)), ((0,), (0,))),
                                preferred_element_type=jnp.float32)
-    vs_e = jax.lax.dot_general(R, vs_ref[:], (((2,), (1,)), ((0,), (0,))),
+    vs_e = jax.lax.dot_general(R, kvs[:, Hkv:, :],
+                               (((2,), (1,)), ((0,), (0,))),
                                preferred_element_type=jnp.float32)
     scores = acc.astype(jnp.float32) * (sq * scale) * ks_e + bias
     m = jnp.max(scores, axis=-1, keepdims=True)
@@ -215,16 +219,16 @@ def _kernel_int8(mask_ref, ks_ref, vs_ref, q_ref, k_ref, v_ref, o_ref,
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def decode_attention_int8(q: jax.Array, k_cache: jax.Array,
-                          v_cache: jax.Array, k_scale: jax.Array,
-                          v_scale: jax.Array, mask: jax.Array,
+                          v_cache: jax.Array, kv_scale: jax.Array,
+                          mask: jax.Array,
                           *, interpret: bool = False) -> jax.Array:
     """Single-step attention over an int8 cache with per-(b, s, h) scales.
 
     Args:
       q: [B, Hq, D] queries (bf16/f32).
       k_cache, v_cache: [B, S, Hkv*D] int8 merged-lane buffers.
-      k_scale, v_scale: [B, Hkv, S] f32 symmetric scales (the cache's
-        native transposed layout — see models/llama.py::KVCache).
+      kv_scale: [B, 2*Hkv, S] bf16 symmetric scales, k rows then v rows
+        (the cache's native transposed layout — models/llama.py::KVCache).
       mask: [B, S] bool.
 
     Returns: [B, Hq, D] in q's dtype.
@@ -236,16 +240,13 @@ def decode_attention_int8(q: jax.Array, k_cache: jax.Array,
     Bb = _pick_bb(B, S, HD, itemsize=1)
     kern = functools.partial(_kernel_int8, Bb=Bb, S=S, Hkv=Hkv, G=G, D=D)
     bias = jnp.where(mask, 0.0, -1e9).astype(jnp.float32)[:, None, :]
-    ks_t, vs_t = k_scale, v_scale                     # [B, Hkv, S]
     out = pl.pallas_call(
         kern,
         grid=(B // Bb,),
         in_specs=[
             pl.BlockSpec((Bb, 1, S), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bb, Hkv, S), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bb, Hkv, S), lambda i: (i, 0, 0),
+            pl.BlockSpec((Bb, 2 * Hkv, S), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Bb, Hq, D), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -258,5 +259,5 @@ def decode_attention_int8(q: jax.Array, k_cache: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
         interpret=interpret,
-    )(bias, ks_t, vs_t, q, k_cache, v_cache)
+    )(bias, kv_scale, q, k_cache, v_cache)
     return out

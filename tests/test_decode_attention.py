@@ -58,10 +58,14 @@ def test_int8_kernel_matches_dequantized_xla():
                             (B, S, Hkv, D), -127, 128, jnp.int8)
     v8 = jax.random.randint(jax.random.fold_in(key, 2),
                             (B, S, Hkv, D), -127, 128, jnp.int8)
+    # bf16 scale values (the cache stores scales in bf16 — use values
+    # already representable so the reference dequant matches exactly)
     ks = jax.random.uniform(jax.random.fold_in(key, 3), (B, S, Hkv),
-                            jnp.float32, 0.005, 0.02)
+                            jnp.float32, 0.005, 0.02).astype(jnp.bfloat16
+                            ).astype(jnp.float32)
     vs = jax.random.uniform(jax.random.fold_in(key, 4), (B, S, Hkv),
-                            jnp.float32, 0.005, 0.02)
+                            jnp.float32, 0.005, 0.02).astype(jnp.bfloat16
+                            ).astype(jnp.float32)
     mask = np.ones((B, S), bool)
     mask[:, -4:] = False
     mask[2, 5] = False
@@ -71,11 +75,13 @@ def test_int8_kernel_matches_dequantized_xla():
     v = v8.astype(jnp.float32) * vs[..., None]
     ref = dot_product_attention(q[:, None], k, v,
                                 mask=mask[:, None, None, :])[:, 0]
-    # scales are passed in the cache's native transposed [B, Hkv, S] layout
+    # scales are passed merged in the cache's native transposed
+    # [B, 2*Hkv, S] layout (k rows then v rows)
+    kvs = jnp.concatenate([jnp.swapaxes(ks, 1, 2), jnp.swapaxes(vs, 1, 2)],
+                          axis=1).astype(jnp.bfloat16)
     got = decode_attention_int8(q, k8.reshape(B, S, Hkv * D),
                                 v8.reshape(B, S, Hkv * D),
-                                jnp.swapaxes(ks, 1, 2),
-                                jnp.swapaxes(vs, 1, 2), mask,
+                                kvs, mask,
                                 interpret=True)
     # kernel matmuls run bf16 on the MXU; interpret mode mirrors that
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),

@@ -62,14 +62,14 @@ def test_int8_kv_cache_keeps_scales_and_quantized_values():
     ids = np.random.default_rng(0).integers(0, cfg.vocab_size, (2, 12))
     _, _, cache = _decode_greedy(params, cfg, ids, 4, quantized=True)
     # (a) the returned cache still carries scales (round-2 bug: rebuilt
-    # KVCache without k_scale/v_scale at models/llama.py:287)
-    assert cache.k_scale is not None and cache.v_scale is not None
+    # the KVCache without its scale fields at models/llama.py:287)
+    assert cache.kv_scale is not None
     # (b) the int8 buffers hold real quantized values, not astype-truncated
     # bf16 (which collapsed to zeros in the round-2 repro)
     k0 = np.asarray(cache.k[0][:, :12])
     assert k0.dtype == np.int8
     assert np.abs(k0).max() > 10, "int8 keys look truncated, not quantized"
-    s0 = np.asarray(cache.k_scale[0][:, :, :12])   # [B, Hkv, S] layout
+    s0 = np.asarray(cache.kv_scale[0][:, :, :12])  # [B, 2*Hkv, S] layout
     assert (s0 > 0).all(), "written cache slots must carry positive scales"
 
 
