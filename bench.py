@@ -254,7 +254,53 @@ def main():
             f"remaining budget {_remaining():.0f}s < 150s")
         _emit(rtfx, extras)
 
-    # (former extra 3 — encoder w8a8 e2e — removed: measured a REGRESSION
+    # -- extra 3: 8B-scale int8 serving on ONE chip -------------------------
+    # LLaMA-3.1-8B cannot fit bf16 on a 16 GB v5e (16 GB weights alone),
+    # but the w8a8 + int8-KV serving path can: ~7.5 GB int8 matmul
+    # weights + 1 GB bf16 embed + int8 KV cache. The decoder is
+    # random-initialized DIRECTLY in int8 (init_quantized_llama_params)
+    # because the bf16-then-quantize path cannot co-reside on chip.
+    if on_tpu and _remaining() > 420:
+        try:
+            from mtasr_tpu.config import llama_8b_config
+            from mtasr_tpu.utils.quantize import init_quantized_llama_params
+            params = None  # free the 1B trees before the 8 GB decoder
+            qparams = None
+            dec8 = llama_8b_config(vocab_size=128264)
+            cfg8 = SpeechEncoderDecoderConfig(
+                encoder=enc, decoder=dec8, train_mode="attention",
+                talker_ctc=False)
+            # init ONLY the non-decoder parts in bf16 (a full composite
+            # init would materialize the 16 GB bf16 8B decoder)
+            from mtasr_tpu.models.layers import linear_init
+            from mtasr_tpu.models.wavlm import init_wavlm_params
+
+            def _init8_nondecoder(k):
+                ks = jax.random.split(k, 2)
+                return tree_cast({
+                    "encoder": init_wavlm_params(ks[0], enc),
+                    "enc_to_dec_proj": linear_init(
+                        ks[1], enc.out_hidden, dec8.hidden_size),
+                }, jnp.bfloat16)
+
+            p8 = dict(jax.jit(_init8_nondecoder)(jax.random.key(2)))
+            q8_jit = jax.jit(init_quantized_llama_params,
+                             static_argnames=("cfg", "mode"))
+            p8["decoder"] = q8_jit(jax.random.key(3), cfg=dec8)
+            jax.block_until_ready(p8)
+            extras["rtfx_8b_int8"] = round(_decode_rtfx(
+                jax, jnp, cfg8, p8, 64, secs, max_new, kv_quant=True), 2)
+            extras["8b_batch"] = 64
+            p8 = None
+        except Exception as e:
+            extras["8b_bench_error"] = str(e)[:200]
+        _emit(rtfx, extras)
+    elif on_tpu:
+        extras["8b_bench_skipped"] = (
+            f"remaining budget {_remaining():.0f}s < 420s")
+        _emit(rtfx, extras)
+
+    # (former extra — encoder w8a8 e2e — removed: measured a REGRESSION
     # vs bf16 encoder + int8 decoder (957 vs 973 RTFx): v5e int8 matmul is
     # only 1.4x bf16, not 2x (measured 219 TOPs vs 157 TFLOPs), so
     # activation-quant overhead eats the gain. quantize_encoder_for_serving

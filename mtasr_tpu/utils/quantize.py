@@ -149,3 +149,58 @@ def _quantize_decoder_impl(params: dict, mode: str) -> dict:
             {"weight": model["embed_tokens"]["weight"]}, mode)
     out["decoder"] = dec
     return out
+
+
+def init_quantized_llama_params(key, cfg, mode: str = "w8a8") -> dict:
+    """Random-init a LLaMA decoder DIRECTLY in int8 serving form.
+
+    For benchmarking/serving-scale bring-up of geometries whose bf16
+    weights cannot co-reside with their int8 copy on one chip (LLaMA-8B:
+    16 GB bf16 + 8 GB int8 > the 16 GB v5e HBM — the
+    init-bf16-then-quantize path OOMs before the first decode step).
+    Produces the same tree shape as `_quantize_decoder_impl` on an
+    `init_llama_params` decoder: quantized q/k/v/o + mlp + lm_head
+    ({weight_q8a8/weight_q8, scale}), bf16 embed/layernorms. Weight
+    values are uniform int8 with per-channel scales chosen so the
+    dequantized std ~= 0.02, matching `init_llama_params`' N(0, 0.02).
+    Real checkpoints should use `quantize_decoder_for_serving`."""
+    from mtasr_tpu.models.layers import embedding_init
+
+    wkey = "weight_q8a8" if mode == "w8a8" else "weight_q8"
+    keys = iter(jax.random.split(key, 8 * cfg.num_hidden_layers + 8))
+    H, D = cfg.hidden_size, cfg.head_dim_
+    # uniform int8 in [-127, 127] has std ~73.3; scale for std 0.02
+    scale_val = 0.02 / 73.3
+
+    def qlin(k, in_dim, out_dim):
+        wq = jax.random.randint(k, (out_dim, in_dim), -127, 128, jnp.int32
+                                ).astype(jnp.int8)
+        return {wkey: wq,
+                "scale": jnp.full((out_dim,), scale_val, jnp.float32)}
+
+    p = {"model": {
+        "embed_tokens": embedding_init(next(keys), cfg.vocab_size, H,
+                                       0.02, jnp.bfloat16),
+        "layers": {},
+        "norm": {"weight": jnp.ones((H,), jnp.bfloat16)},
+    }}
+    Hq, Hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    for i in range(cfg.num_hidden_layers):
+        p["model"]["layers"][str(i)] = {
+            "self_attn": {
+                "q_proj": qlin(next(keys), H, Hq * D),
+                "k_proj": qlin(next(keys), H, Hkv * D),
+                "v_proj": qlin(next(keys), H, Hkv * D),
+                "o_proj": qlin(next(keys), Hq * D, H),
+            },
+            "mlp": {
+                "gate_proj": qlin(next(keys), H, cfg.intermediate_size),
+                "up_proj": qlin(next(keys), H, cfg.intermediate_size),
+                "down_proj": qlin(next(keys), cfg.intermediate_size, H),
+            },
+            "input_layernorm": {"weight": jnp.ones((H,), jnp.bfloat16)},
+            "post_attention_layernorm": {"weight": jnp.ones((H,),
+                                                            jnp.bfloat16)},
+        }
+    p["lm_head"] = qlin(next(keys), H, cfg.vocab_size)
+    return p

@@ -156,3 +156,32 @@ def test_int8_kv_generate_matches_bf16_shapes():
     # greedy decode under <1% KV error on a random-init model: most tokens
     # should agree (exact equality is not guaranteed at near-tie logits)
     assert (a == b).mean() >= 0.5, (a, b)
+
+
+def test_init_quantized_llama_generates():
+    """init_quantized_llama_params (direct int8 random init, for
+    geometries whose bf16 form cannot co-reside with the int8 copy on
+    one chip — the 8B bench extra) must produce a tree the generate
+    path accepts: same shape contract as quantize_decoder_for_serving."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mtasr_tpu.config import GenerationConfig
+    from mtasr_tpu.generate import generate
+    from mtasr_tpu.models.speech_encoder_decoder import init_model_params
+    from mtasr_tpu.utils.quantize import init_quantized_llama_params
+    from tests.test_composite import make_batch, tiny_cfg
+
+    cfg = tiny_cfg(train_mode="attention")
+    params = init_model_params(jax.random.key(0), cfg)
+    qdec = init_quantized_llama_params(jax.random.key(1), cfg.decoder)
+    assert "weight_q8a8" in qdec["model"]["layers"]["0"]["self_attn"]["q_proj"]
+    params = dict(params)
+    params["decoder"] = qdec
+    wav, amask, _ = make_batch(cfg, B=2, S=8000, seed=3)
+    out = generate(params, cfg, jnp.asarray(wav), jnp.asarray(amask),
+                   gen=GenerationConfig(do_sample=False, kv_quant=True),
+                   max_new_tokens=4)
+    seq = np.asarray(out.sequences)
+    assert seq.shape == (2, 4)
+    assert (seq >= 0).all() and (seq < cfg.decoder.vocab_size).all()
