@@ -164,15 +164,36 @@ def align_mask_len(mask: jax.Array, t_target: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 # encode (shared by training forward, generate prefill, and forward_ctc)
 # ---------------------------------------------------------------------------
-def encode_speech(
+@dataclass
+class SpeechFeats:
+    """Stage-A output: everything produced by the SHARED params
+    (encoder + separator), before the rest-param bridge/refiner stage.
+    The split lets PCGrad (train/train_step.py) pull the total loss back
+    through the cheap bridge only — its shared-subtree gradient is
+    discarded by the reference's overwrite (trainer_seq2seq.py:1140-1144),
+    so the encoder backward for it is pure waste."""
+    mixed: jax.Array                          # [B, T0, D] 50 Hz features
+    speech: jax.Array                         # [B, T8, D] 8x features
+    sep_hidden: Optional[List[jax.Array]]     # K x [B, T0, D] pre-refine
+    enc_mask: jax.Array                       # [B, T8] True=valid
+    mask_x0: jax.Array                        # [B, T0] True=valid
+
+
+jax.tree_util.register_dataclass(
+    SpeechFeats,
+    data_fields=["mixed", "speech", "sep_hidden", "enc_mask", "mask_x0"],
+    meta_fields=[])
+
+
+def encode_feats(
     params: dict, cfg: SpeechEncoderDecoderConfig,
     input_values: jax.Array, audio_mask: Optional[jax.Array],
     *,
     mask_time_indices: Optional[jax.Array] = None,
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
-    ctc_prompt_max_len: int = 64,
-) -> EncodedSpeech:
+) -> SpeechFeats:
+    """Stage A: WavLM encoder + speaker separator (shared params only)."""
     enc = wavlm_forward(params["encoder"], cfg.encoder, input_values,
                         audio_mask, mask_time_indices=mask_time_indices,
                         deterministic=deterministic, rng=rng)
@@ -195,10 +216,27 @@ def encode_speech(
                                        cfg.talker_numbers,
                                        lstm_dropout=cfg.separator_dropout,
                                        deterministic=deterministic, rng=rng)
-        if cfg.talker_ctc_refine:
-            sep_hidden = frame_refiner_forward(
-                params["serilized_refine"], sep_hidden, mixed, mask_x0,
-                _ctc_head_list(params, cfg), cfg.ctc_blank_id)
+    return SpeechFeats(mixed=mixed, speech=speech, sep_hidden=sep_hidden,
+                       enc_mask=enc_mask, mask_x0=mask_x0)
+
+
+def bridge_features(
+    params: dict, cfg: SpeechEncoderDecoderConfig, feats: SpeechFeats,
+    *,
+    ctc_prompt_max_len: int = 64,
+) -> EncodedSpeech:
+    """Stage B: refiner + CTC bridge + adapter memory (rest params; the
+    'raw' bridge also reads the shared encoder adapter, whose PCGrad
+    gradient is identically zero — heads don't depend on it and the
+    total-loss shared grad is overwritten)."""
+    mixed, speech = feats.mixed, feats.speech
+    enc_mask, mask_x0 = feats.enc_mask, feats.mask_x0
+    sep_hidden = feats.sep_hidden
+    if cfg.talker_ctc and cfg.talker_ctc_refine:
+        sep_hidden = frame_refiner_forward(
+            params["serilized_refine"], sep_hidden, mixed, mask_x0,
+            _ctc_head_list(params, cfg), cfg.ctc_blank_id)
+    B = mixed.shape[0]
 
     # --- decoder memory path ---
     encoder_hidden_states = _proj_to_decoder(params, speech)
@@ -272,6 +310,22 @@ def encode_speech(
         acoustic_conf=acoustic_conf)
 
 
+def encode_speech(
+    params: dict, cfg: SpeechEncoderDecoderConfig,
+    input_values: jax.Array, audio_mask: Optional[jax.Array],
+    *,
+    mask_time_indices: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+    ctc_prompt_max_len: int = 64,
+) -> EncodedSpeech:
+    feats = encode_feats(params, cfg, input_values, audio_mask,
+                         mask_time_indices=mask_time_indices,
+                         deterministic=deterministic, rng=rng)
+    return bridge_features(params, cfg, feats,
+                           ctc_prompt_max_len=ctc_prompt_max_len)
+
+
 def _adapter_callback(params: dict, cfg: SpeechEncoderDecoderConfig,
                       enc: EncodedSpeech):
     if not cfg.decoder_cross_attention or "cross_att_adap" not in params:
@@ -307,6 +361,32 @@ def model_forward(
     enc = encode_speech(params, cfg, input_values, audio_mask,
                         mask_time_indices=mask_time_indices,
                         deterministic=deterministic, rng=rng)
+    return model_forward_from_enc(
+        params, cfg, enc, decoder_input_ids, splice_index=splice_index,
+        ce_labels=ce_labels, label_spks=label_spks,
+        label_spk_lens=label_spk_lens, rng=rng, use_pit=use_pit)
+
+
+def model_forward_from_enc(
+    params: dict,
+    cfg: SpeechEncoderDecoderConfig,
+    enc: EncodedSpeech,
+    decoder_input_ids: jax.Array,
+    *,
+    splice_index: int = 1,
+    ce_labels: Optional[jax.Array] = None,
+    label_spks: Optional[jax.Array] = None,
+    label_spk_lens: Optional[jax.Array] = None,
+    rng: Optional[jax.Array] = None,
+    use_pit: bool = False,
+) -> ForwardOutput:
+    """Everything downstream of the encoder: decoder forward + losses.
+
+    Split out of model_forward so PCGrad can linearize the encode trunk
+    and this post-encode stage separately (train/train_step.py): the
+    per-head CTC pullbacks then run through the trunk only, never
+    touching the decoder graph (the reference's K extra autograd.grad
+    calls traverse the whole retained graph, trainer_seq2seq.py:1106)."""
     speech = enc.encoder_hidden_states
     B, Ts = speech.shape[:2]
     L = decoder_input_ids.shape[1]
@@ -323,8 +403,9 @@ def model_forward(
     # model.add_adapter+enable_adapters (finetune_asr.py:127-134)
     lora = params.get("decoder_lora")
     lora_rng = None
-    if lora is not None and not deterministic and rng is not None \
-            and cfg.lora_dropout > 0.0:
+    # rng is only passed in training (eval paths call with rng=None), so
+    # its presence doubles as the deterministic flag here
+    if lora is not None and rng is not None and cfg.lora_dropout > 0.0:
         lora_rng = jax.random.fold_in(rng, 0x10A)
 
     logits, _ = llama_forward(

@@ -20,6 +20,7 @@ contribution there, exactly as the reference overwrite does
 """
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Callable, Dict, Optional, Tuple
 
@@ -28,7 +29,11 @@ import jax.numpy as jnp
 import optax
 
 from mtasr_tpu.config import SpeechEncoderDecoderConfig, TrainingConfig
-from mtasr_tpu.models.speech_encoder_decoder import model_forward
+from mtasr_tpu.models.losses import serialized_ctc_loss
+from mtasr_tpu.models.speech_encoder_decoder import (
+    _ctc_head_list, bridge_features, encode_feats, model_forward,
+    model_forward_from_enc,
+)
 
 SHARED_TOPS = ("encoder", "separator")
 
@@ -116,7 +121,10 @@ def make_train_step(
                 out = forward(p, batch, rng)
                 return out.loss, out.aux
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        else:
+        elif use_pit:
+            # PIT chooses a per-sample permutation inside the loss, which
+            # the head-only pullback below cannot re-express (its `perm`
+            # knob is a single static list) — keep the joint-graph form
             shared0, rest0 = _split_shared(params)
 
             def loss_all(shared, rest):
@@ -143,6 +151,96 @@ def make_train_step(
                     g_i = _mask_tree(g_i, m_shared)
                 head_grads.append(g_i)
             g_shared_proj = pcgrad_project(head_grads)
+        else:
+            # Three-stage linearization (SURVEY hard-part #5):
+            #   A: encoder + separator   (SHARED params only)
+            #   B: refiner/bridge        (rest params, cheap)
+            #   post: decoder + losses   (rest params)
+            # PCGrad DISCARDS the total loss's shared-subtree gradient
+            # (the reference overwrite, trainer_seq2seq.py:1140-1144), so
+            # the total-loss pullback stops at stage B — vjp_a is only
+            # ever invoked with the K head cotangents, i.e. K encoder
+            # backwards instead of the reference's K+1 full-graph
+            # autograd.grad calls (trainer_seq2seq.py:1106-1113).
+            shared0, rest0 = _split_shared(params)
+
+            def stage_a(shared):
+                p = {**shared, **rest0}
+                return encode_feats(
+                    p, cfg, batch["input_values"], batch.get("audio_mask"),
+                    mask_time_indices=batch.get("mask_time_indices"),
+                    deterministic=False, rng=rng)
+
+            feats, vjp_a = jax.vjp(stage_a, shared0)
+
+            def stage_b(f, rest):
+                p = {**shared0, **rest}
+                return bridge_features(p, cfg, f)
+
+            enc, vjp_b = jax.vjp(stage_b, feats, rest0)
+
+            def post(enc_in, rest):
+                p = {**shared0, **rest}
+                out = model_forward_from_enc(
+                    p, cfg, enc_in, batch["decoder_input_ids"],
+                    splice_index=splice_index,
+                    ce_labels=batch.get("ce_labels"),
+                    label_spks=batch.get("label_spks"),
+                    label_spk_lens=batch.get("label_spk_lens"),
+                    rng=rng, use_pit=False)
+                heads = jnp.mean(out.aux["ctc_per_head"], axis=1)  # [K]
+                return (out.loss, heads), out.aux
+
+            (loss, heads), vjp_post, aux = jax.vjp(
+                post, enc, rest0, has_aux=True)
+            K = heads.shape[0]
+            cot_enc, g_rest_post = vjp_post(
+                (jnp.float32(1.0), jnp.zeros_like(heads)))
+            # total-loss pullback through the cheap bridge only; its
+            # feats cotangent (-> shared grads) is the part PCGrad drops
+            _, g_rest_b = vjp_b(cot_enc)
+            # rest params can feed BOTH stages (CTC heads also serve the
+            # softmax bridge / refiner inside stage B)
+            g_rest = _tree_add(g_rest_post, g_rest_b)
+
+            # head-only loss: per-head CTC means as a function of the
+            # (refined) sep_hidden (CTC head params from rest0 are
+            # constants — per-head grads only ever feed the projection on
+            # the SHARED subtree). Recomputes the cheap CTC lattice; the
+            # accum-scaling NOTE from the PIT branch applies here too.
+            hlens = (jnp.sum(enc.mask_x0.astype(jnp.int32), axis=1)
+                     if enc.mask_x0 is not None else None)
+            ctc_params = _ctc_head_list({**shared0, **rest0}, cfg)
+
+            def head_loss(sep_hidden):
+                _, per_head = serialized_ctc_loss(
+                    ctc_params, sep_hidden, hlens,
+                    batch["label_spks"], batch["label_spk_lens"],
+                    cfg.ctc_blank_id)
+                return jnp.mean(per_head, axis=1)                  # [K]
+
+            _, vjp_head = jax.vjp(head_loss, enc.sep_hidden)
+            # zero cotangent with vjp-correct dtypes (bool/int leaves are
+            # float0 in cot_enc; reuse them as-is)
+
+            def _zf(x):
+                return (x if x.dtype == jax.dtypes.float0
+                        else jnp.zeros_like(x))
+            zero_cot = jax.tree_util.tree_map(_zf, cot_enc)
+            head_grads = []
+            for i in range(K):
+                e = jnp.zeros_like(heads).at[i].set(1.0)
+                (cot_sep,) = vjp_head(e)
+                cot_i = dataclasses.replace(zero_cot, sep_hidden=cot_sep)
+                cot_feats_i, _ = vjp_b(cot_i)
+                (g_i,) = vjp_a(cot_feats_i)
+                if trainable_mask is not None:
+                    m_shared, _ = _split_shared(trainable_mask)
+                    g_i = _mask_tree(g_i, m_shared)
+                head_grads.append(g_i)
+            g_shared_proj = pcgrad_project(head_grads)
+
+        if use_pcgrad:
             grads = {**g_shared_proj, **g_rest}
             # per-head grad-norm diagnostics on the shared params (the
             # reference's per_head_grad_stats, trainer_seq2seq.py:228-372)
