@@ -60,6 +60,14 @@ def build_argparser():
                         "(bounds the conv frontend's peak HBM so the "
                         "decode batch can exceed what single-pass encode "
                         "allows)")
+    p.add_argument("--speculative", type=str, default=None,
+                   choices=["ctc"],
+                   help="speculative greedy decoding drafted by the model's "
+                        "own per-speaker CTC heads; output is token-"
+                        "identical to plain greedy, only faster (needs "
+                        "talker_ctc)")
+    p.add_argument("--spec_k", type=int, default=4,
+                   help="draft tokens verified per speculative step")
     p.add_argument("--quantize_scope", type=str, default="decoder",
                    choices=["decoder", "all"],
                    help="'decoder' quantizes the weight-bound decode loop; "
@@ -162,7 +170,9 @@ def main(argv=None):
                            do_sample=args.do_sample,
                            temperature=args.temperature, top_k=args.top_k,
                            top_p=args.top_p, kv_quant=args.kv_quant,
-                           encode_chunk=args.encode_chunk)
+                           encode_chunk=args.encode_chunk,
+                           speculative=args.speculative,
+                           spec_k=args.spec_k)
 
     label_f = open(os.path.join(args.output_dir,
                                 f"label.{args.shard_index}"), "w")

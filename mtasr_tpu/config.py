@@ -411,6 +411,22 @@ class GenerationConfig:
     # 10 s) that caps the single-pass batch. Chunked encode bounds the
     # frontend's peak HBM while the decode still runs at full B.
     encode_chunk: Optional[int] = None
+    # Speculative decoding (greedy only, output EXACTLY equals plain greedy
+    # decode): "ctc" drafts the SOT continuation from the model's own
+    # per-speaker CTC heads (zero extra draft-model cost — the architecture
+    # computes them anyway); each verify step scores spec_k draft tokens in
+    # ONE cached forward, amortizing the decode step's dominant weight +
+    # KV-cache HBM streams over the accepted run length. Beyond-parity
+    # feature (no reference counterpart).
+    speculative: Optional[str] = None      # None | "ctc"
+    spec_k: int = 4                        # draft tokens verified per step
+    # KV-cache slots reserved for the generated region, as a multiple of
+    # max_new_tokens (rejected drafts burn slots; they are masked invalid
+    # and skipped, not compacted). When spec slots run low the engine
+    # falls back to exact 1-token decode, so any factor >= 1 + (spec_k+1)/
+    # max_new_tokens preserves output exactness; 2.0 keeps the fallback
+    # rare at realistic acceptance rates.
+    spec_cache_factor: float = 2.0
 
 
 @dataclass

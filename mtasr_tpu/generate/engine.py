@@ -74,18 +74,17 @@ def _sample_token(logits: jax.Array, gen: GenerationConfig,
     return jax.random.categorical(rng, logits, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("cfg", "gen", "max_new_tokens",
-                                   "splice_index"))
-def _generate_impl(params, cfg: SpeechEncoderDecoderConfig,
-                   enc: EncodedSpeech, prefill_ids: jax.Array,
-                   splice_index: int, gen: GenerationConfig,
-                   max_new_tokens: int, rng: jax.Array) -> GenerateOutput:
+def _prefill(params, cfg: SpeechEncoderDecoderConfig, enc: EncodedSpeech,
+             prefill_ids: jax.Array, splice_index: int, S_max: int,
+             kv_quant: bool):
+    """Splice [prefix | speech | suffix] embeddings, run the prefill pass
+    into a fresh KV cache, and return (cache, last_logits, n_valid,
+    total_prefill). Shared by the plain and speculative decode loops."""
     dec_cfg = cfg.decoder
     speech = enc.encoder_hidden_states
     B, Ts = speech.shape[:2]
     Lp = prefill_ids.shape[1]
     total_prefill = Lp + Ts
-    S_max = total_prefill + max_new_tokens
 
     emb = embed_tokens(params["decoder"], dec_cfg, prefill_ids,
                        dtype=speech.dtype)
@@ -110,7 +109,7 @@ def _generate_impl(params, cfg: SpeechEncoderDecoderConfig,
                              idx - Ts + n_valid[:, None])
 
     cache = KVCache.init(dec_cfg, B, S_max, dtype=speech.dtype,
-                         quantized=gen.kv_quant)
+                         quantized=kv_quant)
     cb = _adapter_callback(params, cfg, enc)
     if Lp > splice_index:
         # suffix tokens (<eoss><bosr>) follow the speech block: the last
@@ -132,6 +131,25 @@ def _generate_impl(params, cfg: SpeechEncoderDecoderConfig,
         last_idx = (splice_index + n_valid - 1).astype(jnp.int32)
         h_last = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)
         last_logits = lm_head(params["decoder"], dec_cfg, h_last)[:, 0]
+    return cache, last_logits, n_valid, total_prefill
+
+
+@partial(jax.jit, static_argnames=("cfg", "gen", "max_new_tokens",
+                                   "splice_index"))
+def _generate_impl(params, cfg: SpeechEncoderDecoderConfig,
+                   enc: EncodedSpeech, prefill_ids: jax.Array,
+                   splice_index: int, gen: GenerationConfig,
+                   max_new_tokens: int, rng: jax.Array) -> GenerateOutput:
+    dec_cfg = cfg.decoder
+    speech = enc.encoder_hidden_states
+    B, Ts = speech.shape[:2]
+    Lp = prefill_ids.shape[1]
+    total_prefill = Lp + Ts
+    S_max = total_prefill + max_new_tokens
+
+    cache, last_logits, n_valid, _ = _prefill(
+        params, cfg, enc, prefill_ids, splice_index, S_max, gen.kv_quant)
+    cb = _adapter_callback(params, cfg, enc)
 
     eos_id = cfg.eos_token_id
     pad_id = cfg.pad_token_id
@@ -178,20 +196,12 @@ def _generate_impl(params, cfg: SpeechEncoderDecoderConfig,
     return GenerateOutput(sequences=out, lengths=lengths)
 
 
-def generate(params, cfg: SpeechEncoderDecoderConfig,
+def _prepare(params, cfg: SpeechEncoderDecoderConfig,
              input_values: jax.Array, audio_mask: Optional[jax.Array],
-             prompt_ids: Optional[jax.Array] = None,
-             gen: Optional[GenerationConfig] = None,
-             rng: Optional[jax.Array] = None,
-             max_new_tokens: Optional[int] = None) -> GenerateOutput:
-    """Batched AR decode. prompt_ids: [B, P_total] instruct prompt token ids
-    WITHOUT BOS (= tokenizer(prompt_str)[1:], vectorized_dataset_utils.py:98);
-    must contain the <boss>/<eoss>/<bosr> specials. All rows must share one
-    prompt layout (the reference assumes identical prompts, see TODO at
-    modeling...llama.py:713-715)."""
-    gen = gen or GenerationConfig()
-    if max_new_tokens is None:
-        max_new_tokens = gen.max_new_tokens or gen.max_length
+             prompt_ids: Optional[jax.Array], gen: GenerationConfig):
+    """Shared decode-entry preprocessing: LoRA fold, (chunked) encode,
+    prompt layout validation. Returns (params, enc, prefill_ids,
+    splice_index)."""
     B = input_values.shape[0]
 
     if "decoder_lora" in params:
@@ -243,6 +253,31 @@ def generate(params, cfg: SpeechEncoderDecoderConfig,
     else:
         prefill_ids = bos
         splice_index = 1
+    return params, enc, prefill_ids, splice_index
+
+
+def generate(params, cfg: SpeechEncoderDecoderConfig,
+             input_values: jax.Array, audio_mask: Optional[jax.Array],
+             prompt_ids: Optional[jax.Array] = None,
+             gen: Optional[GenerationConfig] = None,
+             rng: Optional[jax.Array] = None,
+             max_new_tokens: Optional[int] = None) -> GenerateOutput:
+    """Batched AR decode. prompt_ids: [B, P_total] instruct prompt token ids
+    WITHOUT BOS (= tokenizer(prompt_str)[1:], vectorized_dataset_utils.py:98);
+    must contain the <boss>/<eoss>/<bosr> specials. All rows must share one
+    prompt layout (the reference assumes identical prompts, see TODO at
+    modeling...llama.py:713-715)."""
+    gen = gen or GenerationConfig()
+    if max_new_tokens is None:
+        max_new_tokens = gen.max_new_tokens or gen.max_length
+    if gen.speculative:
+        from mtasr_tpu.generate.speculative import generate_speculative
+        out, _ = generate_speculative(
+            params, cfg, input_values, audio_mask, prompt_ids=prompt_ids,
+            gen=gen, max_new_tokens=max_new_tokens)
+        return out
+    params, enc, prefill_ids, splice_index = _prepare(
+        params, cfg, input_values, audio_mask, prompt_ids, gen)
     if rng is None and gen.do_sample:
         rng = jax.random.key(0)
     return _generate_impl(params, cfg, enc, prefill_ids, splice_index, gen,
