@@ -53,9 +53,14 @@ class PreparedExample:
 
 def _wav_duration_samples(path: str, target_sr: int) -> int:
     """Sample count at target_sr from the WAV header only (no data read)."""
-    import wave
-    with wave.open(path, "rb") as w:
-        n, sr = w.getnframes(), w.getframerate()
+    from mtasr_tpu.utils.native import wav_header_native
+    hdr = wav_header_native(path)
+    if hdr is not None:
+        n, sr = hdr[0], hdr[1]
+    else:
+        import wave
+        with wave.open(path, "rb") as w:
+            n, sr = w.getnframes(), w.getframerate()
     if sr == target_sr:
         return n
     # matches scipy resample_poly output length: ceil(n * up / down)
@@ -213,7 +218,32 @@ def collate(examples: Sequence[PreparedExample],
     S = bucket_length(max(e.n_samples for e in examples), dc)
     wav_batch = np.zeros((B, S), np.float32)
     amask = np.zeros((B, S), np.int32)
+    # native fast path: decode+normalize the batch's lazy WAVs in parallel
+    # straight into wav_batch (native/audio_loader.cpp). Rows the native
+    # loader can't serve exactly (needs resampling, exotic encoding, or
+    # longer than the bucket — Python normalizes over the FULL waveform
+    # before clipping) fall back to the Python reader below.
+    native_rows = [i for i, e in enumerate(examples)
+                   if e.input_values is None and e.wav_path is not None
+                   and e.n_samples <= S]
+    loaded = set()
+    if native_rows:
+        from mtasr_tpu.utils.native import wav_load_batch_native
+        sub = wav_batch[native_rows] if len(native_rows) < B else wav_batch
+        res = wav_load_batch_native(
+            [examples[i].wav_path for i in native_rows], sub,
+            dc.sampling_rate)
+        if res is not None:
+            lens, status = res
+            for j, i in enumerate(native_rows):
+                if status[j] == 0:
+                    amask[i, :lens[j]] = 1
+                    loaded.add(i)
+            if len(native_rows) < B and loaded:
+                wav_batch[native_rows] = sub
     for i, e in enumerate(examples):
+        if i in loaded:
+            continue
         w = e.waveform(dc)            # lazy examples load from disk here
         ln = min(len(w), S)
         wav_batch[i, :ln] = w[:ln]

@@ -16,8 +16,11 @@ import numpy as np
 _ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
 _NATIVE_DIR = os.path.join(_ROOT, "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libwer.so")
+_AUDIO_LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libaudio.so")
 _lib: Optional[ctypes.CDLL] = None
 _lib_tried = False
+_audio_lib: Optional[ctypes.CDLL] = None
+_audio_lib_tried = False
 
 
 def _build() -> bool:
@@ -49,6 +52,91 @@ def get_lib() -> Optional[ctypes.CDLL]:
     except OSError:
         _lib = None
     return _lib
+
+
+def get_audio_lib() -> Optional[ctypes.CDLL]:
+    """native/audio_loader.cpp — multithreaded batch WAV decode+normalize
+    (the runtime analog of the reference's libsndfile-backed HF Audio
+    decoding). None when the toolchain/lib is unavailable; every caller
+    has a pure-Python fallback (data/audio.py)."""
+    global _audio_lib, _audio_lib_tried
+    if _audio_lib is not None or _audio_lib_tried:
+        return _audio_lib
+    _audio_lib_tried = True
+    if not os.path.exists(_AUDIO_LIB_PATH) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_AUDIO_LIB_PATH)
+        lib.wav_header.restype = ctypes.c_int
+        lib.wav_header.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+        lib.wav_load.restype = ctypes.c_int64
+        lib.wav_load.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.wav_load_batch.restype = None
+        lib.wav_load_batch.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+        _audio_lib = lib
+    except OSError:
+        _audio_lib = None
+    return _audio_lib
+
+
+def wav_header_native(path: str) -> Optional[Tuple[int, int, int]]:
+    """(n_frames, sample_rate, channels) from the WAV header, or None."""
+    lib = get_audio_lib()
+    if lib is None:
+        return None
+    n = ctypes.c_int64()
+    sr = ctypes.c_int32()
+    ch = ctypes.c_int32()
+    rc = lib.wav_header(path.encode(), ctypes.byref(n), ctypes.byref(sr),
+                        ctypes.byref(ch))
+    if rc != 0:
+        return None
+    return int(n.value), int(sr.value), int(ch.value)
+
+
+def wav_load_batch_native(
+    paths: Sequence[str], out: np.ndarray, target_sr: int,
+    *, normalize: bool = True, n_threads: int = 0,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Decode B WAV files in parallel into out [B, cap] float32 (row b gets
+    lens[b] valid samples, remainder untouched). Returns (lens, status) or
+    None when the native lib is unavailable.
+
+    status per row: 0 ok, 1 open/parse error, 2 sample-rate mismatch
+    (caller must route that row through the Python resample path), 3
+    unsupported encoding.
+    """
+    lib = get_audio_lib()
+    if lib is None:
+        return None
+    assert out.dtype == np.float32 and out.ndim == 2
+    assert out.flags["C_CONTIGUOUS"]
+    B, cap = out.shape
+    assert len(paths) == B
+    blob = b"".join(p.encode() for p in paths)
+    off = np.zeros(B + 1, np.int64)
+    for i, p in enumerate(paths):
+        off[i + 1] = off[i] + len(p.encode())
+    lens = np.zeros(B, np.int64)
+    status = np.zeros(B, np.int32)
+    if n_threads <= 0:
+        n_threads = min(B, os.cpu_count() or 1)
+    lib.wav_load_batch(
+        blob, off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), B,
+        target_sr, 1 if normalize else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cap,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n_threads)
+    return lens, status
 
 
 def _as_i32(a) -> np.ndarray:

@@ -76,6 +76,135 @@ def test_native_cpwer_matches_python():
     assert tuple(p_n) == best[1]
 
 
+# ---------------------------------------------------------------------------
+# native audio loader (native/audio_loader.cpp)
+# ---------------------------------------------------------------------------
+def _write_test_wav(path, data, sr=16000, width=2, channels=1):
+    import wave
+    data = np.asarray(data, np.float32)
+    if channels > 1:
+        data = np.stack([data] * channels, axis=1)
+    flat = np.clip(data, -1.0, 1.0).reshape(-1)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(sr)
+        if width == 2:
+            w.writeframes((flat * 32767.0).astype("<i2").tobytes())
+        elif width == 4:
+            w.writeframes((flat * 2147483647.0).astype("<i4").tobytes())
+        elif width == 1:
+            w.writeframes(
+                ((flat * 127.0) + 128.0).astype(np.uint8).tobytes())
+        elif width == 3:
+            v = (flat * float((1 << 23) - 1)).astype(np.int32)
+            b = np.zeros((len(v), 3), np.uint8)
+            b[:, 0] = v & 0xFF
+            b[:, 1] = (v >> 8) & 0xFF
+            b[:, 2] = (v >> 16) & 0xFF
+            w.writeframes(b.tobytes())
+
+
+def test_audio_lib_builds():
+    from mtasr_tpu.utils.native import get_audio_lib
+    assert get_audio_lib() is not None, "native/audio_loader.cpp build failed"
+
+
+@pytest.mark.parametrize("width,channels", [(2, 1), (2, 2), (4, 1), (1, 1),
+                                            (3, 1)])
+def test_wav_load_matches_python_reader(tmp_path, width, channels):
+    """Native decode+downmix+normalize == the Python read_wav+normalize
+    path across PCM widths and channel counts."""
+    from mtasr_tpu.data.audio import normalize_waveform, read_wav
+    from mtasr_tpu.utils.native import wav_load_batch_native
+
+    rng = np.random.default_rng(width * 10 + channels)
+    data = (rng.standard_normal(4321) * 0.2).astype(np.float32)
+    p = tmp_path / f"w{width}c{channels}.wav"
+    _write_test_wav(p, data, width=width, channels=channels)
+
+    py_wav, sr = read_wav(str(p))
+    assert sr == 16000
+    py_norm = normalize_waveform(py_wav)
+
+    out = np.zeros((1, 5000), np.float32)
+    res = wav_load_batch_native([str(p)], out, 16000)
+    assert res is not None
+    lens, status = res
+    assert status[0] == 0 and lens[0] == len(py_wav)
+    np.testing.assert_allclose(out[0, :lens[0]], py_norm, atol=2e-4)
+    assert np.all(out[0, lens[0]:] == 0)
+
+
+def test_wav_header_native(tmp_path):
+    from mtasr_tpu.utils.native import wav_header_native
+    p = tmp_path / "h.wav"
+    _write_test_wav(p, np.zeros(777, np.float32), sr=8000, channels=2)
+    hdr = wav_header_native(str(p))
+    assert hdr == (777, 8000, 2)
+    assert wav_header_native(str(tmp_path / "missing.wav")) is None
+
+
+def test_wav_load_batch_status_codes(tmp_path):
+    """sr mismatch -> status 2 (Python fallback), missing file -> 1,
+    good rows decode regardless of bad neighbors."""
+    from mtasr_tpu.utils.native import wav_load_batch_native
+    ok = tmp_path / "ok.wav"
+    bad_sr = tmp_path / "sr8k.wav"
+    _write_test_wav(ok, np.ones(100, np.float32) * 0.1)
+    _write_test_wav(bad_sr, np.ones(100, np.float32) * 0.1, sr=8000)
+    out = np.zeros((3, 200), np.float32)
+    lens, status = wav_load_batch_native(
+        [str(ok), str(bad_sr), str(tmp_path / "nope.wav")], out, 16000)
+    assert status.tolist() == [0, 2, 1]
+    assert lens.tolist() == [100, 0, 0]
+
+
+def test_collate_native_path_matches_python(tmp_path, monkeypatch):
+    """collate produces identical batches with and without the native
+    loader (lazy examples, mixed lengths, one non-16k row forcing the
+    per-row Python fallback)."""
+    from mtasr_tpu.config import DataConfig
+    from mtasr_tpu.data import pipeline as pl
+    from mtasr_tpu.data.audio import Utterance
+    from mtasr_tpu.data.tokenizer import CharTokenizer
+    from tests.test_composite import tiny_cfg
+
+    cfg = tiny_cfg(train_mode="hybrid", talker_ctc=True)
+    tok = CharTokenizer()
+    sp = tok.add_special_tokens()
+    cfg.pad_token_id = sp.pad_token_id
+    cfg.sc_token_id = sp.sc_token_id
+
+    rng = np.random.default_rng(3)
+    utts = []
+    for i, n in enumerate([3000, 4500, 2500]):
+        p = tmp_path / f"u{i}.wav"
+        _write_test_wav(p, rng.standard_normal(n).astype(np.float32) * 0.3)
+        utts.append(Utterance(f"u{i}", str(p), f"ab<sc>ba{i}"))
+    # row 3: 8 kHz file -> native status 2 -> Python resample fallback
+    p8 = tmp_path / "u3.wav"
+    _write_test_wav(p8, rng.standard_normal(4000).astype(np.float32) * 0.3,
+                    sr=8000)
+    utts.append(Utterance("u3", str(p8), "ab<sc>b"))
+
+    dc = DataConfig(min_duration_in_seconds=0.01,
+                    max_duration_in_seconds=2.0,
+                    bucket_boundaries_seconds=(0.5, 1.0))
+    exs = [pl.prepare_example(u, tok, dc, lazy=True) for u in utts]
+    assert all(e is not None for e in exs)
+
+    b_native = pl.collate(exs, cfg, dc, training=False)
+    monkeypatch.setattr(
+        "mtasr_tpu.utils.native.wav_load_batch_native",
+        lambda *a, **k: None)
+    b_python = pl.collate(exs, cfg, dc, training=False)
+    for k in b_native.arrays:
+        np.testing.assert_allclose(
+            b_native.arrays[k], b_python.arrays[k], atol=2e-4,
+            err_msg=k)
+
+
 def test_native_speedup():
     rng = np.random.default_rng(2)
     lab = rng.integers(0, 30, 800).tolist()

@@ -67,7 +67,15 @@ def test_lazy_and_eager_batches_identical(kaldi_dir):
     for a, b in zip(bl, be):
         assert a.utt_ids == b.utt_ids
         for k in a.arrays:
-            np.testing.assert_array_equal(a.arrays[k], b.arrays[k])
+            if k == "input_values":
+                # lazy batches load via the native C++ decoder at collate
+                # time (native/audio_loader.cpp); eager ones were normalized
+                # by numpy at prepare time — identical up to float decode
+                # tolerance, not bitwise
+                np.testing.assert_allclose(a.arrays[k], b.arrays[k],
+                                           atol=2e-4)
+            else:
+                np.testing.assert_array_equal(a.arrays[k], b.arrays[k])
 
 
 def test_multiprocess_matches_serial(kaldi_dir):
