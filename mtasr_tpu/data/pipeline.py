@@ -249,25 +249,31 @@ def collate(examples: Sequence[PreparedExample],
         wav_batch[i, :ln] = w[:ln]
         amask[i, :ln] = 1
 
-    L = label_pad_to or max(len(e.labels) for e in examples)
-    raw_labels = np.full((B, L), -100, np.int64)
-    for i, e in enumerate(examples):
-        raw_labels[i, :min(len(e.labels), L)] = e.labels[:L]
-
     arrays: Dict[str, np.ndarray] = {
         "input_values": wav_batch, "audio_mask": amask,
     }
-    # label surgery runs for eval batches too (teacher-forced eval loss)
-    surgery = build_training_arrays(
-        raw_labels, pad_token_id=cfg.pad_token_id,
-        decoder_start_token_id=cfg.decoder_start_token_id,
-        eos_token_id=cfg.eos_token_id, sc_token_id=cfg.sc_token_id,
-        talker_numbers=cfg.talker_numbers, instruct=cfg.instruct,
-        eosr_token_id=cfg.eosr_token_id, bosp_token_id=cfg.bosp_token_id,
-        eosp_token_id=cfg.eosp_token_id, bosr_token_id=cfg.bosr_token_id,
-        label_spk_pad_to=label_pad_to, split_speakers=cfg.talker_ctc)
-    splice_index = surgery.pop("splice_index")
-    arrays.update({k: np.asarray(v) for k, v in surgery.items()})
+    # label surgery runs for eval batches too (teacher-forced eval loss) —
+    # but a decode-only batch (no row has labels, e.g. the Transcriber API)
+    # carries no label arrays at all: `generate` doesn't read them, and the
+    # strict <sc>-count validation would (rightly) reject empty SOT labels
+    has_labels = any(len(e.labels) > 0 for e in examples)
+    if has_labels or training:
+        L = label_pad_to or max(len(e.labels) for e in examples)
+        raw_labels = np.full((B, L), -100, np.int64)
+        for i, e in enumerate(examples):
+            raw_labels[i, :min(len(e.labels), L)] = e.labels[:L]
+        surgery = build_training_arrays(
+            raw_labels, pad_token_id=cfg.pad_token_id,
+            decoder_start_token_id=cfg.decoder_start_token_id,
+            eos_token_id=cfg.eos_token_id, sc_token_id=cfg.sc_token_id,
+            talker_numbers=cfg.talker_numbers, instruct=cfg.instruct,
+            eosr_token_id=cfg.eosr_token_id, bosp_token_id=cfg.bosp_token_id,
+            eosp_token_id=cfg.eosp_token_id, bosr_token_id=cfg.bosr_token_id,
+            label_spk_pad_to=label_pad_to, split_speakers=cfg.talker_ctc)
+        splice_index = surgery.pop("splice_index")
+        arrays.update({k: np.asarray(v) for k, v in surgery.items()})
+    else:
+        splice_index = 1
 
     if cfg.instruct:
         P = max(len(e.prompt_ids) for e in examples)
