@@ -12,11 +12,19 @@ Verification is the standard greedy speculative step: one cached decoder
 forward scores `spec_k` draft tokens at once; the longest matching prefix is
 accepted plus the model's own next token (bonus/correction). The output is
 therefore EXACTLY the plain greedy decode, token for token, at any
-acceptance rate — only the step count changes. The decode step at large
-batch streams the full weight set + KV cache from HBM regardless of how
-many query tokens ride it (DESIGN.md round-3b: 2.5 GB weights + 1.8-2.7 GB
-cache per step), so verifying k tokens per step divides the dominant HBM
-traffic by the accepted run length.
+acceptance rate — under the same arithmetic (pinned bit-exact by the CPU
+suite). On TPU the verify chunk's matmul shapes round differently than the
+1-token step's, which can flip argmax on NEAR-TIES: measured ~1-2%
+flips/token on a random-init model whose top-2 logit gaps sit at rounding
+scale, immaterial at trained-model margins (DESIGN.md round 3e).
+
+Regime (measured, DESIGN.md round 3e): the verify forward rides the same
+per-step weight stream as a decode step, so speculation pays where that
+stream dominates — SMALL BATCH / latency serving (B=32: a 5-token verify
+step costs 1.33x a decode step -> up to ~3.8x decode speedup). At
+max-throughput batch (B=256) the chunk is MXU-bound (B x spec_k+1 tokens
+of full-model FLOPs) and speculation only breaks even per token — leave it
+off there.
 
 TPU-native design notes:
 * Static shapes everywhere: each verify step is a fixed [B, spec_k+1]

@@ -302,7 +302,11 @@ def _attention(p: dict, cfg: LlamaConfig, x: jax.Array,
     # also defeats in-place DUS; see ops/pallas/decode_attention.py).
     on_cpu = jax.default_backend() == "cpu"
     impl = cfg.decode_attn_impl
-    if (kv_cache is not None and L == 1 and mask is not None
+    # Chunk bound: speculative verify chunks are small (spec_k+1, default
+    # 5); past ~16 rows-per-head the block-diagonal expansion's MXU waste
+    # stops being free and prefill should use the dense path anyway.
+    chunk_ok = 1 < L <= 16
+    if (kv_cache is not None and (L == 1 or chunk_ok) and mask is not None
             and impl in ("pallas", "pallas_interpret")
             and _decode_attn_ok(cfg)
             # on CPU the kernel only runs interpreted (~100x slower), so
@@ -314,17 +318,31 @@ def _attention(p: dict, cfg: LlamaConfig, x: jax.Array,
             # the dequantized k_use/v_use closures are never called, so
             # HBM sees only the int8 stream
             from mtasr_tpu.ops.pallas.decode_attention import (
-                decode_attention_int8,
+                decode_attention_int8, decode_attention_int8_chunk,
             )
-            out = decode_attention_int8(
-                q[:, 0], k_all, v_all, kvs_all, mask[:, 0, 0, :],
-                interpret=on_cpu)[:, None]
+            if L == 1:
+                out = decode_attention_int8(
+                    q[:, 0], k_all, v_all, kvs_all, mask[:, 0, 0, :],
+                    interpret=on_cpu)[:, None]
+            else:
+                # speculative verify chunk: keep the no-copy cache path
+                # (the XLA fallback re-materialized transposed cache
+                # copies per layer per verify step — 49 ms vs 8 ms/step
+                # at B=256, DESIGN.md round 3e)
+                out = decode_attention_int8_chunk(
+                    q, k_all, v_all, kvs_all, mask[:, 0],
+                    interpret=on_cpu)
         else:
             from mtasr_tpu.ops.pallas.decode_attention import (
-                decode_attention,
+                decode_attention, decode_attention_chunk,
             )
-            out = decode_attention(q[:, 0], k_all, v_all, mask[:, 0, 0, :],
-                                   interpret=on_cpu)[:, None]
+            if L == 1:
+                out = decode_attention(q[:, 0], k_all, v_all,
+                                       mask[:, 0, 0, :],
+                                       interpret=on_cpu)[:, None]
+            else:
+                out = decode_attention_chunk(q, k_all, v_all, mask[:, 0],
+                                             interpret=on_cpu)
     else:
         out = dot_product_attention(q, k_use(), v_use(), mask=mask,
                                     scale=D ** -0.5)

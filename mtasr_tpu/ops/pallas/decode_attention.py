@@ -135,6 +135,112 @@ def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     return out
 
 
+def _kernel_chunk(mask_ref, q_ref, k_ref, v_ref, o_ref,
+                  *, Bb, L, S, Hkv, G, D):
+    """bf16 L-token chunk variant (the speculative-verify step). Without
+    this, the L>1 verify forward fell back to the XLA einsum whose
+    transposed cache copies the L=1 kernel was built to kill — measured
+    49 ms/verify-step vs 8 ms/decode-step at B=256 (DESIGN.md round 3e),
+    which made speculative decoding a net LOSS even at 100% draft
+    acceptance.
+
+    Same per-kv-head loop as the L=1 kernel, with each head's dot carrying
+    M = G*L rows (all chunk positions of the head's query group). The
+    caller lays q out HEAD-MAJOR — [Bb, Hkv*G*L, D] with head h's rows
+    contiguous at [h*G*L, (h+1)*G*L) — so each head is a static sublane
+    slice. (A block-diagonal all-heads formulation — the int8 L=1 trick —
+    was measured first: its M = L*Hq rows x full-HD contraction costs
+    Hkv x the MACs, ~2.2 TFLOP per verify step at the bench shape, and the
+    MXU is NOT idle at that size: 26.7 ms/step vs 8 ms plain. The per-head
+    form is ~68 GFLOP/step.)
+
+    The per-(position, key) bias arrives pre-shaped [Bb, L, S] f32 and is
+    expanded once to the G*L row layout by an iota-selection dot
+    (row r -> position r % L; Mosaic rejects the reshape/broadcast).
+    """
+    GL = G * L
+    scale = D ** -0.5
+    # bias rows for one head block: row r = g*L + l -> position l = r % L
+    RL = (jax.lax.broadcasted_iota(jnp.int32, (Bb, GL, L), 1) % L
+          == jax.lax.broadcasted_iota(jnp.int32, (Bb, GL, L), 2)
+          ).astype(jnp.float32)
+    bias_e = jax.lax.dot_general(RL, mask_ref[:],
+                                 (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+    for h in range(Hkv):
+        k_h = k_ref[:, :, h * D:(h + 1) * D]          # [Bb, S, D] lane slice
+        v_h = v_ref[:, :, h * D:(h + 1) * D]
+        q_h = q_ref[:, h * GL:(h + 1) * GL, :]        # [Bb, GL, D] sublanes
+        scores = jax.lax.dot_general(
+            q_h, k_h, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        scores = scores + bias_e
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v_h.dtype)
+        out = jax.lax.dot_general(
+            p, v_h, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        o_ref[:, h * GL:(h + 1) * GL, :] = out.astype(o_ref.dtype)
+
+
+def _chunk_head_major(q: jax.Array) -> jax.Array:
+    """[B, L, Hq, D] -> [B, Hkv*G*L, D] with each kv-head's G*L rows
+    contiguous (head-major), matching _kernel_chunk's slicing."""
+    B, L, Hq, D = q.shape
+    return jnp.transpose(q, (0, 2, 1, 3)).reshape(B, Hq * L, D)
+
+
+def _chunk_from_head_major(o: jax.Array, L: int, Hq: int) -> jax.Array:
+    """Inverse of _chunk_head_major for the kernel output."""
+    B, _, D = o.shape
+    return jnp.transpose(o.reshape(B, Hq, L, D), (0, 2, 1, 3))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_attention_chunk(q: jax.Array, k_cache: jax.Array,
+                           v_cache: jax.Array, mask: jax.Array,
+                           *, interpret: bool = False) -> jax.Array:
+    """L-token chunk attention over the full cache (speculative verify).
+
+    Args:
+      q: [B, L, Hq, D] chunk queries (RoPE applied).
+      k_cache, v_cache: [B, S, Hkv*D] merged-lane cache buffers (the
+        chunk's K/V already written at its slots).
+      mask: [B, L, S] bool — True where chunk position l may attend slot s
+        (valid AND causally visible, including within-chunk causality).
+
+    Returns: [B, L, Hq, D] in q's dtype.
+    """
+    B, L, Hq, D = q.shape
+    S, HD = k_cache.shape[1], k_cache.shape[2]
+    Hkv = HD // D
+    G = Hq // Hkv
+    Bb = _pick_bb(B, S, HD)
+    kern = functools.partial(_kernel_chunk, Bb=Bb, L=L, S=S, Hkv=Hkv, G=G,
+                             D=D)
+    bias = jnp.where(mask, 0.0, -1e9).astype(jnp.float32)
+    out = pl.pallas_call(
+        kern,
+        grid=(B // Bb,),
+        in_specs=[
+            pl.BlockSpec((Bb, L, S), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, L * Hq, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, S, HD), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, S, HD), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Bb, L * Hq, D), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, L * Hq, D), q.dtype),
+        interpret=interpret,
+    )(bias, _chunk_head_major(q), k_cache, v_cache)
+    return _chunk_from_head_major(out, L, Hq)
+
+
 def _kernel_int8(mask_ref, kvs_ref, q_ref, k_ref, v_ref, o_ref,
                  *, Bb, S, Hkv, G, D):
     """int8-KV variant. k/v blocks are int8 [Bb, S, Hkv*D]; per-slot
@@ -261,3 +367,92 @@ def decode_attention_int8(q: jax.Array, k_cache: jax.Array,
         interpret=interpret,
     )(bias, kv_scale, q, k_cache, v_cache)
     return out
+
+
+def _kernel_int8_chunk(mask_ref, kvs_ref, q_ref, k_ref, v_ref, o_ref,
+                       *, Bb, L, S, Hkv, G, D):
+    """int8 L-token chunk variant: the per-kv-head loop of _kernel_chunk
+    with the int8 kernel's scale folding (k scale into scores, v scale
+    into probs, native int8 MXU dots — see _kernel_int8's docstring). Each
+    head's M = G*L rows; q arrives HEAD-MAJOR like _kernel_chunk. The
+    block-diagonal all-heads form is NOT used here: at M = L*Hq its
+    Hkv x redundant MACs are no longer free (DESIGN.md round 3e)."""
+    GL = G * L
+    scale = D ** -0.5
+    RL = (jax.lax.broadcasted_iota(jnp.int32, (Bb, GL, L), 1) % L
+          == jax.lax.broadcasted_iota(jnp.int32, (Bb, GL, L), 2)
+          ).astype(jnp.float32)
+    bias_e = jax.lax.dot_general(RL, mask_ref[:],
+                                 (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+    kvs = kvs_ref[:].astype(jnp.float32)              # [Bb, 2*Hkv, S]
+    for h in range(Hkv):
+        k_h = k_ref[:, :, h * D:(h + 1) * D]          # [Bb, S, D] int8
+        v_h = v_ref[:, :, h * D:(h + 1) * D]
+        q_h = q_ref[:, h * GL:(h + 1) * GL, :].astype(jnp.float32)
+        ks_h = kvs[:, h:h + 1, :]                     # [Bb, 1, S]
+        vs_h = kvs[:, Hkv + h:Hkv + h + 1, :]
+        sq = jnp.max(jnp.abs(q_h), axis=-1, keepdims=True) / 127.0
+        sq = jnp.maximum(sq, 1e-12)
+        q8 = jnp.clip(jnp.round(q_h / sq), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            q8, k_h, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)         # [Bb, GL, S]
+        scores = acc.astype(jnp.float32) * (sq * scale) * ks_h + bias_e
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)) * vs_h
+        sp = jnp.max(p, axis=-1, keepdims=True) / 127.0   # p >= 0
+        sp = jnp.maximum(sp, 1e-12)
+        p8 = jnp.clip(jnp.round(p / sp), -127, 127).astype(jnp.int8)
+        out = jax.lax.dot_general(
+            p8, v_h, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)         # [Bb, GL, D]
+        o_ref[:, h * GL:(h + 1) * GL, :] = (
+            out.astype(jnp.float32) * sp).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_attention_int8_chunk(q: jax.Array, k_cache: jax.Array,
+                                v_cache: jax.Array, kv_scale: jax.Array,
+                                mask: jax.Array,
+                                *, interpret: bool = False) -> jax.Array:
+    """L-token chunk attention over an int8 cache (speculative verify).
+
+    Args:
+      q: [B, L, Hq, D] chunk queries.
+      k_cache, v_cache: [B, S, Hkv*D] int8 merged-lane buffers.
+      kv_scale: [B, 2*Hkv, S] bf16 scales (k rows then v rows).
+      mask: [B, L, S] bool.
+
+    Returns: [B, L, Hq, D] in q's dtype.
+    """
+    B, L, Hq, D = q.shape
+    S, HD = k_cache.shape[1], k_cache.shape[2]
+    Hkv = HD // D
+    G = Hq // Hkv
+    Bb = _pick_bb(B, S, HD, itemsize=1)
+    kern = functools.partial(_kernel_int8_chunk, Bb=Bb, L=L, S=S, Hkv=Hkv,
+                             G=G, D=D)
+    bias = jnp.where(mask, 0.0, -1e9).astype(jnp.float32)
+    out = pl.pallas_call(
+        kern,
+        grid=(B // Bb,),
+        in_specs=[
+            pl.BlockSpec((Bb, L, S), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, 2 * Hkv, S), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, L * Hq, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, S, HD), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, S, HD), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Bb, L * Hq, D), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, L * Hq, D), q.dtype),
+        interpret=interpret,
+    )(bias, kv_scale, _chunk_head_major(q), k_cache, v_cache)
+    return _chunk_from_head_major(out, L, Hq)

@@ -118,6 +118,109 @@ def test_llama_int8_decode_routes_through_kernel():
                                rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("B,L,S,Hq,Hkv,D", [
+    (4, 5, 32, 8, 2, 64),    # spec_k=4 verify chunk, GQA
+    (2, 3, 17, 4, 4, 32),    # MHA, ragged S
+])
+def test_chunk_kernel_matches_xla(B, L, S, Hq, Hkv, D):
+    """L-token chunk kernel (speculative verify) vs the XLA reference,
+    with per-position masks including within-chunk causality and holes."""
+    from mtasr_tpu.ops.pallas.decode_attention import decode_attention_chunk
+    key = jax.random.key(7)
+    q = jax.random.normal(key, (B, L, Hq, D), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, S, Hkv, D),
+                          jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, S, Hkv, D),
+                          jnp.float32)
+    # chunk written at offset c: position l attends prior valid slots and
+    # chunk slots <= l; add holes (rejected-draft slots stay dead)
+    c = S - L - 2
+    mask = np.zeros((B, L, S), bool)
+    for l in range(L):
+        mask[:, l, : c + l + 1] = True
+    mask[:, :, 3] = False                     # dead hole from a prior step
+    mask[1, :, : 5] = False                   # ragged history
+    mask = jnp.asarray(mask)
+
+    ref = dot_product_attention(q, k, v, mask=mask[:, None])
+    got = decode_attention_chunk(q, k.reshape(B, S, Hkv * D),
+                                 v.reshape(B, S, Hkv * D), mask,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_int8_chunk_kernel_matches_dequantized_xla():
+    from mtasr_tpu.ops.pallas.decode_attention import (
+        decode_attention_int8_chunk,
+    )
+    B, L, S, Hq, Hkv, D = 2, 4, 24, 8, 2, 64
+    key = jax.random.key(11)
+    q = jax.random.normal(key, (B, L, Hq, D), jnp.float32)
+    k8 = jax.random.randint(jax.random.fold_in(key, 1),
+                            (B, S, Hkv, D), -127, 128, jnp.int8)
+    v8 = jax.random.randint(jax.random.fold_in(key, 2),
+                            (B, S, Hkv, D), -127, 128, jnp.int8)
+    ks = jax.random.uniform(jax.random.fold_in(key, 3), (B, S, Hkv),
+                            jnp.float32, 0.005, 0.02).astype(jnp.bfloat16
+                            ).astype(jnp.float32)
+    vs = jax.random.uniform(jax.random.fold_in(key, 4), (B, S, Hkv),
+                            jnp.float32, 0.005, 0.02).astype(jnp.bfloat16
+                            ).astype(jnp.float32)
+    c = S - L - 3
+    mask = np.zeros((B, L, S), bool)
+    for l in range(L):
+        mask[:, l, : c + l + 1] = True
+    mask[0, :, 2] = False
+    mask = jnp.asarray(mask)
+
+    k = k8.astype(jnp.float32) * ks[..., None]
+    v = v8.astype(jnp.float32) * vs[..., None]
+    ref = dot_product_attention(q, k, v, mask=mask[:, None])
+    kvs = jnp.concatenate([jnp.swapaxes(ks, 1, 2), jnp.swapaxes(vs, 1, 2)],
+                          axis=1).astype(jnp.bfloat16)
+    got = decode_attention_int8_chunk(
+        q, k8.reshape(B, S, Hkv * D), v8.reshape(B, S, Hkv * D), kvs, mask,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_llama_chunk_step_routes_through_kernel():
+    """llama_forward with a cache and 1 < L <= 16 (the speculative verify
+    chunk) must agree between the chunk kernel and the XLA path."""
+    from dataclasses import replace
+    from mtasr_tpu.config import LlamaConfig
+    from mtasr_tpu.models.llama import (
+        KVCache, init_llama_params, llama_forward,
+    )
+    cfg = LlamaConfig(vocab_size=64, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, head_dim=64)
+    params = init_llama_params(jax.random.key(0), cfg)
+    B, L0, Lc = 2, 6, 3
+    emb = jax.random.normal(jax.random.key(1), (B, L0, 64), jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(L0)[None], (B, L0))
+    for quant in (False, True):
+        logits = {}
+        for impl in ("pallas_interpret", "xla"):
+            c = replace(cfg, decode_attn_impl=impl)
+            cache = KVCache.init(c, B, L0 + Lc + 1, quantized=quant,
+                                 dtype=jnp.float32)
+            _, cache = llama_forward(params, c, emb, pos, kv_cache=cache,
+                                     cache_offset=0)
+            e = jax.random.normal(jax.random.key(2), (B, Lc, 64),
+                                  jnp.float32)
+            p = L0 + jnp.broadcast_to(jnp.arange(Lc)[None], (B, Lc))
+            lg, cache = llama_forward(params, c, e, p, kv_cache=cache,
+                                      cache_offset=L0)
+            logits[impl] = np.asarray(lg)
+        tol = 2e-2 if quant else 1e-5
+        np.testing.assert_allclose(logits["pallas_interpret"],
+                                   logits["xla"], rtol=tol, atol=tol,
+                                   err_msg=f"quant={quant}")
+
+
 def test_unsupported_geometry_detected():
     assert not supported(8, 3, 64)      # Hq not divisible by Hkv
     assert not supported(4, 1, 64)      # HD=64 not lane-aligned
