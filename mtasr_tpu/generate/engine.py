@@ -271,10 +271,19 @@ def generate(params, cfg: SpeechEncoderDecoderConfig,
     if max_new_tokens is None:
         max_new_tokens = gen.max_new_tokens or gen.max_length
     if gen.speculative:
+        import logging
+
         from mtasr_tpu.generate.speculative import generate_speculative
-        out, _ = generate_speculative(
+        out, st = generate_speculative(
             params, cfg, input_values, audio_mask, prompt_ids=prompt_ids,
             gen=gen, max_new_tokens=max_new_tokens)
+        # draft quality is the whole game (DESIGN.md round 3e) — surface it
+        emitted = max(int(jnp.sum(st.emitted)), 1)
+        logging.getLogger("mtasr_tpu.generate").info(
+            "speculative: %d verify + %d fallback steps, %d/%d tokens from "
+            "accepted drafts (%.0f%%)", int(st.spec_steps),
+            int(st.fallback_steps), int(st.accepted_drafts), emitted,
+            100.0 * int(st.accepted_drafts) / emitted)
         return out
     params, enc, prefill_ids, splice_index = _prepare(
         params, cfg, input_values, audio_mask, prompt_ids, gen)

@@ -16,3 +16,24 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache for the CPU suite: the same tiny-model programs
+# are jitted by many test files; caching them on disk (keyed on backend +
+# topology, so the 8-virtual-device CPU programs never mix with TPU ones)
+# cuts full-suite wall time and — more importantly — the number of live
+# XLA:CPU compiler invocations per process (a >60-min single-process run
+# was observed to segfault inside backend_compile after ~200 compiles;
+# each test passes in isolation).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                 ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def pytest_runtest_teardown(item, nextitem):
+    # Drop jit/tracing caches at module boundaries: bounds the live
+    # executable count in long single-process runs (see cache note above).
+    if nextitem is None or item.module is not getattr(nextitem, "module",
+                                                      None):
+        jax.clear_caches()
