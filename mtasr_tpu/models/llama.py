@@ -250,10 +250,15 @@ def _attention(p: dict, cfg: LlamaConfig, x: jax.Array,
             # k and v scales live in ONE transposed [B, 2*Hkv, S] array
             # (see KVCache) so the lane-offset update — which XLA cannot
             # keep fully in place — is paid once per layer, not twice;
-            # the swapaxes fuses into the _quantize_kv producer
+            # the swapaxes fuses into the _quantize_kv producer. Rows are
+            # kv-head-major INTERLEAVED (k_0, v_0, k_1, v_1, …): the row
+            # dim is then a Shardy compound factor (kv two) with kv major,
+            # so TP head-sharding partitions the scales consistently with
+            # the int8 cache buffers (ops/pallas/spmd.py).
             kvs_all = jax.lax.dynamic_update_slice(
                 kv_cache.kv_scale[layer_idx],
-                jnp.swapaxes(jnp.concatenate([ks, vs], axis=-1), 1, 2),
+                jnp.swapaxes(jnp.stack([ks, vs], axis=-1)
+                             .reshape(B_, L_, 2 * Hkv_), 1, 2),
                 (0, 0, cache_offset))
             new_kvs = (kv_cache.kv_scale[:layer_idx] + (kvs_all,)
                        + kv_cache.kv_scale[layer_idx + 1:])
@@ -263,12 +268,12 @@ def _attention(p: dict, cfg: LlamaConfig, x: jax.Array,
             # in-place DUS on the carried int8 buffers during layout
             # assignment)
             def k_use(k_all=k_all, kvs_all=kvs_all):
-                s = jnp.swapaxes(kvs_all[:, :Hkv_, :], 1, 2)
+                s = jnp.swapaxes(kvs_all[:, 0::2, :], 1, 2)
                 return (k_all.reshape(B_, S_all, Hkv_, D_).astype(x.dtype)
                         * s[..., None].astype(x.dtype))
 
             def v_use(v_all=v_all, kvs_all=kvs_all):
-                s = jnp.swapaxes(kvs_all[:, Hkv_:, :], 1, 2)
+                s = jnp.swapaxes(kvs_all[:, 1::2, :], 1, 2)
                 return (v_all.reshape(B_, S_all, Hkv_, D_).astype(x.dtype)
                         * s[..., None].astype(x.dtype))
         else:

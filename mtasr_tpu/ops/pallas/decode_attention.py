@@ -245,7 +245,8 @@ def _kernel_int8(mask_ref, kvs_ref, q_ref, k_ref, v_ref, o_ref,
                  *, Bb, S, Hkv, G, D):
     """int8-KV variant. k/v blocks are int8 [Bb, S, Hkv*D]; per-slot
     symmetric scales for both k and v arrive in ONE array in the cache's
-    native transposed [Bb, 2*Hkv, S] bf16 layout (k rows then v rows), so
+    native transposed [Bb, 2*Hkv, S] bf16 layout (kv-major interleaved
+    rows k_0, v_0, k_1, v_1, …), so
     each head's scale row is a sublane slice (a [Bb, S] -> [Bb, 1, S]
     reshape would be an unsupported Mosaic shape cast) and no transpose
     copy sits between cache and kernel. Dequant
@@ -292,16 +293,20 @@ def _kernel_int8(mask_ref, kvs_ref, q_ref, k_ref, v_ref, o_ref,
     q_bd = jnp.where(bd, q_t, 0).astype(jnp.int8)
     acc = jax.lax.dot_general(q_bd, k_ref[:], (((2,), (2,)), ((0,), (0,))),
                               preferred_element_type=jnp.int32)  # [Bb,Hq,S]
-    # expand the per-kv-head scale rows to per-query-head rows (R is the
-    # 0/1 (h, kh) selection — again a dot, not a sublane repeat)
-    R = (jax.lax.broadcasted_iota(jnp.int32, (Bb, Hq, Hkv), 1) // G
-         == jax.lax.broadcasted_iota(jnp.int32, (Bb, Hq, Hkv), 2)
-         ).astype(jnp.float32)
+    # expand the per-kv-head scale rows to per-query-head rows. Scale rows
+    # are kv-major interleaved (k_0, v_0, k_1, v_1, … — the layout TP
+    # head-sharding partitions, see models/llama.py + ops/pallas/spmd.py),
+    # so the 0/1 selection matmuls pick row 2·kh (k) / 2·kh+1 (v) straight
+    # from the full [Bb, 2*Hkv, S] block — a dot, not a sublane
+    # deinterleave (strided sublane slices are unsupported in Mosaic)
+    row = jax.lax.broadcasted_iota(jnp.int32, (Bb, Hq, 2 * Hkv), 2)
+    kh2 = 2 * (jax.lax.broadcasted_iota(jnp.int32, (Bb, Hq, 2 * Hkv), 1)
+               // G)
     kvs = kvs_ref[:].astype(jnp.float32)              # [Bb, 2*Hkv, S]
-    ks_e = jax.lax.dot_general(R, kvs[:, :Hkv, :],
+    ks_e = jax.lax.dot_general((row == kh2).astype(jnp.float32), kvs,
                                (((2,), (1,)), ((0,), (0,))),
                                preferred_element_type=jnp.float32)
-    vs_e = jax.lax.dot_general(R, kvs[:, Hkv:, :],
+    vs_e = jax.lax.dot_general((row == kh2 + 1).astype(jnp.float32), kvs,
                                (((2,), (1,)), ((0,), (0,))),
                                preferred_element_type=jnp.float32)
     scores = acc.astype(jnp.float32) * (sq * scale) * ks_e + bias
@@ -390,8 +395,8 @@ def _kernel_int8_chunk(mask_ref, kvs_ref, q_ref, k_ref, v_ref, o_ref,
         k_h = k_ref[:, :, h * D:(h + 1) * D]          # [Bb, S, D] int8
         v_h = v_ref[:, :, h * D:(h + 1) * D]
         q_h = q_ref[:, h * GL:(h + 1) * GL, :].astype(jnp.float32)
-        ks_h = kvs[:, h:h + 1, :]                     # [Bb, 1, S]
-        vs_h = kvs[:, Hkv + h:Hkv + h + 1, :]
+        ks_h = kvs[:, 2 * h:2 * h + 1, :]             # [Bb, 1, S]
+        vs_h = kvs[:, 2 * h + 1:2 * h + 2, :]
         sq = jnp.max(jnp.abs(q_h), axis=-1, keepdims=True) / 127.0
         sq = jnp.maximum(sq, 1e-12)
         q8 = jnp.clip(jnp.round(q_h / sq), -127, 127).astype(jnp.int8)
@@ -422,7 +427,7 @@ def decode_attention_int8_chunk(q: jax.Array, k_cache: jax.Array,
     Args:
       q: [B, L, Hq, D] chunk queries.
       k_cache, v_cache: [B, S, Hkv*D] int8 merged-lane buffers.
-      kv_scale: [B, 2*Hkv, S] bf16 scales (k rows then v rows).
+      kv_scale: [B, 2*Hkv, S] bf16 scales (kv-major interleaved rows).
       mask: [B, L, S] bool.
 
     Returns: [B, L, Hq, D] in q's dtype.

@@ -76,9 +76,9 @@ def test_int8_kernel_matches_dequantized_xla():
     ref = dot_product_attention(q[:, None], k, v,
                                 mask=mask[:, None, None, :])[:, 0]
     # scales are passed merged in the cache's native transposed
-    # [B, 2*Hkv, S] layout (k rows then v rows)
-    kvs = jnp.concatenate([jnp.swapaxes(ks, 1, 2), jnp.swapaxes(vs, 1, 2)],
-                          axis=1).astype(jnp.bfloat16)
+    # [B, 2*Hkv, S] layout (kv-major interleaved rows k_0, v_0, k_1, v_1)
+    kvs = jnp.swapaxes(jnp.stack([ks, vs], axis=-1).reshape(
+        ks.shape[0], ks.shape[1], -1), 1, 2).astype(jnp.bfloat16)
     got = decode_attention_int8(q, k8.reshape(B, S, Hkv * D),
                                 v8.reshape(B, S, Hkv * D),
                                 kvs, mask,
@@ -177,8 +177,9 @@ def test_int8_chunk_kernel_matches_dequantized_xla():
     k = k8.astype(jnp.float32) * ks[..., None]
     v = v8.astype(jnp.float32) * vs[..., None]
     ref = dot_product_attention(q, k, v, mask=mask[:, None])
-    kvs = jnp.concatenate([jnp.swapaxes(ks, 1, 2), jnp.swapaxes(vs, 1, 2)],
-                          axis=1).astype(jnp.bfloat16)
+    # kv-major interleaved scale rows (k_0, v_0, k_1, v_1, …)
+    kvs = jnp.swapaxes(jnp.stack([ks, vs], axis=-1).reshape(
+        ks.shape[0], ks.shape[1], -1), 1, 2).astype(jnp.bfloat16)
     got = decode_attention_int8_chunk(
         q, k8.reshape(B, S, Hkv * D), v8.reshape(B, S, Hkv * D), kvs, mask,
         interpret=True)
