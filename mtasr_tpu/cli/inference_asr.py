@@ -142,6 +142,12 @@ def main(argv=None):
     if mesh is not None:
         params = shard_params(params, mesh)
         logger.info("sharded params over mesh %s", dict(mesh.shape))
+        # under a mesh the Pallas decode kernels need their SPMD
+        # partitioning rules (ops/pallas/spmd.py) — a bare pallas_call is
+        # a Mosaic custom call the partitioner would otherwise gather the
+        # whole KV cache for, on every chip
+        if cfg.decoder.decode_attn_impl == "pallas":
+            cfg.decoder.decode_attn_impl = "pallas_spmd"
     if args.tokenizer_name:
         tokenizer = HFTokenizer(args.tokenizer_name)
     else:

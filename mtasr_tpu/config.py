@@ -159,6 +159,10 @@ class LlamaConfig:
     #              attention win at B=128, see ops/pallas/decode_attention.py)
     #   "xla"    — plain einsum attention (always used on CPU, for int8 KV,
     #              and for unsupported head geometries)
+    #   "pallas_spmd" — the same kernels wrapped in custom_partitioning
+    #              rules (ops/pallas/spmd.py) so a dp x tp mesh splits
+    #              them per-device instead of gathering the KV cache;
+    #              selected automatically by the mesh-building CLIs
     decode_attn_impl: str = "pallas"
 
     @property

@@ -312,13 +312,38 @@ def _attention(p: dict, cfg: LlamaConfig, x: jax.Array,
     # stops being free and prefill should use the dense path anyway.
     chunk_ok = 1 < L <= 16
     if (kv_cache is not None and (L == 1 or chunk_ok) and mask is not None
-            and impl in ("pallas", "pallas_interpret")
+            and impl in ("pallas", "pallas_interpret", "pallas_spmd")
             and _decode_attn_ok(cfg)
             # on CPU the kernel only runs interpreted (~100x slower), so
             # the default "pallas" quietly uses the XLA path there;
-            # "pallas_interpret" forces the kernel for parity tests
-            and (not on_cpu or impl == "pallas_interpret")):
-        if kv_cache.kv_scale is not None:
+            # "pallas_interpret" forces the kernel for parity tests and
+            # "pallas_spmd" always engages (its partitioning rules are
+            # what mesh tests exercise; interpret mode on CPU)
+            and (not on_cpu or impl in ("pallas_interpret",
+                                        "pallas_spmd"))):
+        if impl == "pallas_spmd":
+            # mesh-sharded serving: custom_partitioning rules split the
+            # kernel per-device (batch on dp, kv heads on tp) instead of
+            # letting the partitioner gather the cache onto every chip
+            from mtasr_tpu.ops.pallas import spmd as _spmd
+            if kv_cache.kv_scale is not None:
+                if L == 1:
+                    out = _spmd.decode_attention_int8_spmd(
+                        q[:, 0], k_all, v_all, kvs_all, mask[:, 0, 0, :],
+                        interpret=on_cpu)[:, None]
+                else:
+                    out = _spmd.decode_attention_int8_chunk_spmd(
+                        q, k_all, v_all, kvs_all, mask[:, 0],
+                        interpret=on_cpu)
+            else:
+                if L == 1:
+                    out = _spmd.decode_attention_spmd(
+                        q[:, 0], k_all, v_all, mask[:, 0, 0, :],
+                        interpret=on_cpu)[:, None]
+                else:
+                    out = _spmd.decode_attention_chunk_spmd(
+                        q, k_all, v_all, mask[:, 0], interpret=on_cpu)
+        elif kv_cache.kv_scale is not None:
             # int8 cache: scales fold into scores/probs inside the kernel;
             # the dequantized k_use/v_use closures are never called, so
             # HBM sees only the int8 stream

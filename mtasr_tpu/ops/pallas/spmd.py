@@ -1,0 +1,186 @@
+"""SPMD partitioning rules for the Pallas decode-attention kernels.
+
+Pallas lowers to Mosaic custom calls, which the XLA/Shardy partitioner
+cannot partition on its own: under a dp x tp mesh it would gather every
+operand — including the full KV cache — onto every device, defeating
+tensor parallelism exactly at the 8B serving scale where it is
+load-bearing for memory (the reference's analog is NCCL DDP inference,
+/root/reference/inference_asr_gpus.py:50-66, which never shards the
+model; TP is this framework's extension, SURVEY §2.3).
+
+These wrappers register `jax.experimental.custom_partitioning` rules so a
+kernel call on sharded operands becomes per-device kernel calls on
+shard-local shapes — the single-chip regime the kernels are validated in
+(tests/test_decode_attention.py) — with
+
+* batch shardable on any mesh axes (dp), and
+* heads shardable at kv-head granularity (tp): the GQA q<->cache linkage
+  is expressed with Shardy compound factors — q's head dim is (kv g) and
+  the cache's merged lane dim is (kv dk), so sharding the shared `kv`
+  factor splits q rows and cache lanes consistently. The int8 scale rows
+  are (kv two) — kv-major interleaved k_0, v_0, k_1, v_1, … precisely so
+  this factorization exists (models/llama.py::KVCache).
+
+If the per-shard geometry falls outside `decode_attention.supported`
+(e.g. tp > Hkv leaves < 128 merged lanes per shard), the per-shard
+lowering falls back to a plain-XLA reference computation — still fully
+sharded, just without the no-copy kernel. Nothing is ever gathered.
+
+Dispatch: models/llama.py routes here for
+`LlamaConfig.decode_attn_impl == "pallas_spmd"`, which the mesh-building
+CLIs select whenever a mesh is active; the single-device default
+("pallas") keeps calling the kernels directly.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.custom_partitioning import custom_partitioning
+
+from mtasr_tpu.ops.pallas import decode_attention as _da
+
+
+def _dims(t) -> tuple:
+    """Shape of an MLIR ranked tensor type (the sharding_rule callable
+    receives ir.Type objects, not avals)."""
+    from jax._src.lib.mlir import ir
+    return tuple(ir.RankedTensorType(t).shape)
+
+
+def _ref_bf16(q, k_cache, v_cache, mask):
+    """Plain-XLA fallback, shard-local. q [B, (L,) Hq, D]; caches
+    [B, S, Hkv*D]; mask [B, (L,) S]. Mirrors the XLA path in
+    models/llama.py::_attention (dequantized closures)."""
+    chunk = q.ndim == 4
+    if not chunk:
+        q, mask = q[:, None], mask[:, None]
+    B, L, Hq, D = q.shape
+    S, HD = k_cache.shape[1], k_cache.shape[2]
+    Hkv = HD // D
+    kh = k_cache.reshape(B, S, Hkv, D).astype(q.dtype)
+    vh = v_cache.reshape(B, S, Hkv, D).astype(q.dtype)
+    out = jax.nn.dot_product_attention(
+        q, kh, vh, mask=mask[:, None, :, :], scale=D ** -0.5)
+    return out if chunk else out[:, 0]
+
+
+def _ref_int8(q, k_cache, v_cache, kv_scale, mask):
+    """int8 fallback: dequantize the shard-local cache with the
+    interleaved scale rows, then _ref_bf16."""
+    B = q.shape[0]
+    S, HD = k_cache.shape[1], k_cache.shape[2]
+    D = q.shape[-1]
+    Hkv = HD // D
+    ks = jnp.swapaxes(kv_scale[:, 0::2, :], 1, 2).astype(jnp.float32)
+    vs = jnp.swapaxes(kv_scale[:, 1::2, :], 1, 2).astype(jnp.float32)
+    kf = (k_cache.reshape(B, S, Hkv, D).astype(jnp.float32)
+          * ks[..., None]).reshape(B, S, HD).astype(q.dtype)
+    vf = (v_cache.reshape(B, S, Hkv, D).astype(jnp.float32)
+          * vs[..., None]).reshape(B, S, HD).astype(q.dtype)
+    return _ref_bf16(q, kf, vf, mask)
+
+
+def _rules(int8: bool, chunk: bool):
+    """(einsum-like rule, need_replication factors) for the operand order
+    (q, k, v, [kv_scale,] mask). Factors, in order of first appearance
+    (Shardy requires need_replication_factors sorted by factor index):
+    b batch | l chunk position | kv kv-head (THE shardable head factor) |
+    g queries per kv head | d q/o head_dim | s cache slots | dk lane
+    head_dim | two k/v scale row pair."""
+    q_m = "b l (kv g) d" if chunk else "b (kv g) d"
+    c_m = "b s (kv dk)"
+    m_m = "b l s" if chunk else "b s"
+    ops = [q_m, c_m, c_m] + (["b (kv two) s"] if int8 else []) + [m_m]
+    rule = ", ".join(ops) + " -> " + q_m
+    need = (("l",) if chunk else ()) + ("g", "d", "s", "dk") \
+        + (("two",) if int8 else ())
+    return rule, need
+
+
+@functools.lru_cache(maxsize=None)
+def _make(int8: bool, chunk: bool, interpret: bool):
+    if int8:
+        impl = (_da.decode_attention_int8_chunk if chunk
+                else _da.decode_attention_int8)
+        ref = _ref_int8
+    else:
+        impl = (_da.decode_attention_chunk if chunk
+                else _da.decode_attention)
+        ref = _ref_bf16
+
+    def fn(*ops):
+        return impl(*ops, interpret=interpret)
+
+    cp = custom_partitioning(fn)
+
+    def sharding_rule(mesh, value_types, result_types):
+        del mesh, result_types
+        q_shape = _dims(value_types[0])
+        hd = _dims(value_types[1])[-1]
+        d = q_shape[-1]
+        hq = q_shape[-2]
+        kv = hd // d
+        rule, need = _rules(int8, chunk)
+        return rule, dict(need_replication_factors=need,
+                          kv=kv, g=hq // kv, dk=d,
+                          **(dict(two=2) if int8 else {}))
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg_shardings = tuple(a.sharding for a in arg_shapes)
+        out_sharding = result_shape.sharding
+
+        def _local(a):
+            try:
+                return a.sharding.shard_shape(a.shape)
+            except Exception:
+                return a.shape
+
+        q_l, k_l = _local(arg_shapes[0]), _local(arg_shapes[1])
+        d = q_l[-1]
+        hq_l = q_l[-2]
+        hkv_l = k_l[-1] // d
+        kernel_ok = (k_l[-1] % d == 0 and hkv_l >= 1
+                     and hq_l % hkv_l == 0
+                     and _da.supported(hq_l, hkv_l, d))
+
+        def lower_fn(*ops):
+            return (fn if kernel_ok else ref)(*ops)
+
+        return mesh, lower_fn, out_sharding, arg_shardings
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        # GSPMD-mode (jax_use_shardy_partitioner=False) compatibility:
+        # the output mirrors q's sharding
+        del mesh, result_shape
+        return arg_shapes[0].sharding
+
+    cp.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        sharding_rule=sharding_rule)
+    return cp
+
+
+def decode_attention_spmd(q, k_cache, v_cache, mask, *,
+                          interpret: bool = False):
+    """decode_attention under a mesh: batch shards on dp, kv heads on tp."""
+    return _make(False, False, interpret)(q, k_cache, v_cache, mask)
+
+
+def decode_attention_chunk_spmd(q, k_cache, v_cache, mask, *,
+                                interpret: bool = False):
+    return _make(False, True, interpret)(q, k_cache, v_cache, mask)
+
+
+def decode_attention_int8_spmd(q, k_cache, v_cache, kv_scale, mask, *,
+                               interpret: bool = False):
+    return _make(True, False, interpret)(q, k_cache, v_cache, kv_scale,
+                                         mask)
+
+
+def decode_attention_int8_chunk_spmd(q, k_cache, v_cache, kv_scale, mask,
+                                     *, interpret: bool = False):
+    return _make(True, True, interpret)(q, k_cache, v_cache, kv_scale,
+                                        mask)

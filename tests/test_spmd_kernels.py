@@ -1,0 +1,191 @@
+"""SPMD partitioning of the Pallas decode kernels (ops/pallas/spmd.py).
+
+A bare pallas_call is a Mosaic custom call the XLA/Shardy partitioner
+cannot split — under a dp x tp mesh it would gather the whole KV cache
+onto every device. The spmd wrappers register custom_partitioning rules
+(batch on any axis, heads at kv-head granularity via Shardy compound
+factors). These tests run on the 8-virtual-device CPU mesh: the rules,
+shard-local geometry, and result assembly are exactly what a real pod
+exercises (inside the partition the kernel sees single-device shapes —
+the regime tests/test_decode_attention.py validates), with the kernels in
+interpret mode on CPU. No reference counterpart: the reference never
+shards the model (inference_asr_gpus.py is NCCL data sharding only).
+"""
+import re
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.nn import dot_product_attention
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mtasr_tpu.ops.pallas import spmd
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs the 8-virtual-device CPU mesh")
+
+
+def _mesh(dp, tp):
+    return Mesh(np.array(jax.devices()[:dp * tp]).reshape(dp, tp),
+                ("data", "model"))
+
+
+def _case(key, B, S, Hq, Hkv, D, L=None, int8=False):
+    """Build (operands, reference) for one kernel variant."""
+    q_shape = (B, L, Hq, D) if L else (B, Hq, D)
+    q = jax.random.normal(key, q_shape, jnp.float32)
+    mask = np.ones((B, S), bool)
+    mask[:, -3:] = False
+    mask[1, 4] = False
+    if L:
+        mask = np.repeat(mask[:, None], L, 1)
+        for pos in range(L):                     # within-chunk causality
+            mask[:, pos, S - (L - 1 - pos):] = False
+    mask = jnp.asarray(mask)
+    if int8:
+        k8 = jax.random.randint(jax.random.fold_in(key, 1),
+                                (B, S, Hkv, D), -127, 128, jnp.int8)
+        v8 = jax.random.randint(jax.random.fold_in(key, 2),
+                                (B, S, Hkv, D), -127, 128, jnp.int8)
+        ks = jax.random.uniform(jax.random.fold_in(key, 3), (B, S, Hkv),
+                                jnp.float32, 0.005, 0.02
+                                ).astype(jnp.bfloat16).astype(jnp.float32)
+        vs = jax.random.uniform(jax.random.fold_in(key, 4), (B, S, Hkv),
+                                jnp.float32, 0.005, 0.02
+                                ).astype(jnp.bfloat16).astype(jnp.float32)
+        kf = k8.astype(jnp.float32) * ks[..., None]
+        vf = v8.astype(jnp.float32) * vs[..., None]
+        kvs = jnp.swapaxes(jnp.stack([ks, vs], -1).reshape(B, S, -1),
+                           1, 2).astype(jnp.bfloat16)
+        ops = (q, k8.reshape(B, S, Hkv * D), v8.reshape(B, S, Hkv * D),
+               kvs, mask)
+    else:
+        kf = jax.random.normal(jax.random.fold_in(key, 1),
+                               (B, S, Hkv, D), jnp.float32)
+        vf = jax.random.normal(jax.random.fold_in(key, 2),
+                               (B, S, Hkv, D), jnp.float32)
+        ops = (q, kf.reshape(B, S, Hkv * D), vf.reshape(B, S, Hkv * D),
+               mask)
+    mm = mask[:, None] if L else mask[:, None, None, :]
+    qq = q if L else q[:, None]
+    ref = dot_product_attention(qq, kf, vf, mask=mm)
+    return ops, (ref if L else ref[:, 0])
+
+
+def _shard(mesh, ops, int8):
+    """Production shardings: batch on data, kv heads on model."""
+    head = P("data", "model", None) if len(ops[0].shape) == 3 \
+        else P("data", None, "model", None)
+    cache = P("data", None, "model")
+    mask = P("data", None) if ops[-1].ndim == 2 else P("data", None, None)
+    specs = [head, cache, cache] \
+        + ([P("data", "model", None)] if int8 else []) + [mask]
+    return tuple(jax.device_put(o, NamedSharding(mesh, s))
+                 for o, s in zip(ops, specs))
+
+
+FNS = {
+    (False, False): spmd.decode_attention_spmd,
+    (False, True): spmd.decode_attention_chunk_spmd,
+    (True, False): spmd.decode_attention_int8_spmd,
+    (True, True): spmd.decode_attention_int8_chunk_spmd,
+}
+
+
+@pytest.mark.parametrize("int8", [False, True])
+@pytest.mark.parametrize("chunk", [False, True])
+def test_sharded_matches_unsharded(int8, chunk):
+    """dp=2 x tp=2 sharding: per-shard Hkv=2, lanes=128 (kernel path).
+    Output must equal the unsharded reference, with NO gather of the
+    cache operands in the compiled HLO."""
+    fn = FNS[(int8, chunk)]
+    ops, ref = _case(jax.random.key(0), B=4, S=32, Hq=8, Hkv=4, D=64,
+                     L=3 if chunk else None, int8=int8)
+    mesh = _mesh(2, 2)
+    sharded = _shard(mesh, ops, int8)
+    # pin the output to q's sharding (as the consuming o_proj would):
+    # with it pinned, a gather-free HLO proves the op ran fully sharded
+    jf = jax.jit(lambda *o: fn(*o, interpret=True),
+                 out_shardings=sharded[0].sharding)
+    out = jf(*sharded)
+    tol = dict(rtol=2e-2, atol=2e-2) if int8 else dict(rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), **tol)
+    # the whole point: no all-gather of the cache
+    hlo = jf.lower(*sharded).compile().as_text()
+    assert not re.search(r"all-gather", hlo), "cache was gathered"
+    assert out.sharding.spec == sharded[0].sharding.spec
+
+
+@pytest.mark.parametrize("int8", [False, True])
+def test_unsupported_geometry_falls_back_sharded(int8):
+    """tp=4 on Hkv=4 leaves 64 merged lanes per shard — below the
+    kernel's 128-lane floor. The partition must still run SHARDED via the
+    XLA reference fallback (correct output, no gather), never gather."""
+    fn = FNS[(int8, False)]
+    ops, ref = _case(jax.random.key(1), B=4, S=32, Hq=8, Hkv=4, D=64,
+                     int8=int8)
+    mesh = _mesh(2, 4)
+    sharded = _shard(mesh, ops, int8)
+    jf = jax.jit(lambda *o: fn(*o, interpret=True))
+    out = jf(*sharded)
+    tol = dict(rtol=2e-2, atol=2e-2) if int8 else dict(rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), **tol)
+    hlo = jf.lower(*sharded).compile().as_text()
+    assert not re.search(r"all-gather", hlo)
+
+
+def test_single_device_passthrough():
+    """No mesh, plain jit: the wrapper must behave exactly like the
+    direct kernel call (the default single-chip serving path)."""
+    from mtasr_tpu.ops.pallas.decode_attention import decode_attention
+    ops, _ = _case(jax.random.key(2), B=2, S=16, Hq=8, Hkv=4, D=64)
+    direct = decode_attention(*ops, interpret=True)
+    wrapped = jax.jit(
+        lambda *o: spmd.decode_attention_spmd(*o, interpret=True))(*ops)
+    np.testing.assert_array_equal(np.asarray(direct), np.asarray(wrapped))
+
+
+def test_llama_decode_spmd_under_mesh():
+    """llama_forward with decode_attn_impl='pallas_spmd', params and
+    batch sharded over dp x tp: logits must match the single-device XLA
+    path (the engine-level integration inference_asr exercises)."""
+    from dataclasses import replace
+    from mtasr_tpu.config import LlamaConfig
+    from mtasr_tpu.models.llama import (
+        KVCache, init_llama_params, llama_forward,
+    )
+    from mtasr_tpu.parallel.mesh import shard_params
+
+    cfg = LlamaConfig(vocab_size=64, hidden_size=256,
+                      intermediate_size=512, num_hidden_layers=2,
+                      num_attention_heads=8, num_key_value_heads=4,
+                      head_dim=64)
+    params = init_llama_params(jax.random.key(0), cfg)
+    B, L0 = 4, 5
+    emb = jax.random.normal(jax.random.key(1), (B, L0, 256), jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(L0)[None], (B, L0))
+
+    def run(c, p, e):
+        cache = KVCache.init(c, B, L0 + 2)
+        lg, cache = llama_forward(p, c, e, pos, kv_cache=cache,
+                                  cache_offset=0)
+        # one decode step through the kernel/spmd path
+        e1 = jax.random.normal(jax.random.key(2), (B, 1, 256), jnp.float32)
+        lg1, _ = llama_forward(p, c, e1,
+                               jnp.full((B, 1), L0, jnp.int32),
+                               kv_cache=cache, cache_offset=L0)
+        return lg1
+
+    ref = run(replace(cfg, decode_attn_impl="xla"), params, emb)
+
+    mesh = _mesh(2, 2)
+    sp = shard_params({"decoder": params}, mesh)["decoder"]
+    es = jax.device_put(emb, NamedSharding(mesh, P("data", None, None)))
+    got = jax.jit(lambda p, e: run(
+        replace(cfg, decode_attn_impl="pallas_spmd"), p, e))(sp, es)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
