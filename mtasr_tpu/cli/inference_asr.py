@@ -142,12 +142,16 @@ def main(argv=None):
     if mesh is not None:
         params = shard_params(params, mesh)
         logger.info("sharded params over mesh %s", dict(mesh.shape))
-        # under a mesh the Pallas decode kernels need their SPMD
-        # partitioning rules (ops/pallas/spmd.py) — a bare pallas_call is
-        # a Mosaic custom call the partitioner would otherwise gather the
-        # whole KV cache for, on every chip
+        # under a mesh the Pallas kernels need their SPMD partitioning
+        # rules (ops/pallas/spmd.py) — a bare pallas_call is a Mosaic
+        # custom call the partitioner would otherwise gather the whole
+        # KV cache (decode) / q,k,v (encoder flash) for, on every chip
         if cfg.decoder.decode_attn_impl == "pallas":
             cfg.decoder.decode_attn_impl = "pallas_spmd"
+        if (cfg.encoder.attention_impl == "flash"
+                or (cfg.encoder.attention_impl == "auto"
+                    and jax.default_backend() != "cpu")):
+            cfg.encoder.attention_impl = "flash_spmd"
     if args.tokenizer_name:
         tokenizer = HFTokenizer(args.tokenizer_name)
     else:

@@ -61,7 +61,10 @@ class WavLMConfig:
     # production default), 'xla' (fused by the compiler, materializes the
     # gated rel-pos bias), or 'flash' (Pallas kernel, composes the bias in
     # VMEM — ~2x the XLA stack at B=128 where the [B,H,T,S] bias dominates
-    # HBM traffic; on CPU it runs interpreted, so 'auto' avoids it there)
+    # HBM traffic; on CPU it runs interpreted, so 'auto' avoids it there),
+    # or 'flash_spmd' (the same kernels under custom_partitioning rules so
+    # a dp x tp mesh splits fwd AND the 3-kernel backward per-device —
+    # ops/pallas/spmd.py; selected by the Trainer/CLIs when a mesh is up)
     attention_impl: str = "auto"
     # rematerialize each encoder layer in backward (jax.checkpoint) — the
     # gradient_checkpointing equivalent, trades FLOPs for activation memory

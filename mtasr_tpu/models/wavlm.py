@@ -20,6 +20,7 @@ Param tree mirrors the HF state_dict key layout (see utils/torch_interop.py).
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Optional
 
@@ -254,14 +255,23 @@ def _wavlm_attention(p: dict, cfg: WavLMConfig, x: jax.Array,
         # flash needs compiled Mosaic; on CPU it would run interpreted
         # (orders of magnitude slower), so auto resolves per-backend
         impl = "xla" if jax.default_backend() == "cpu" else "flash"
-    if impl == "flash":
+    if impl in ("flash", "flash_spmd"):
         from mtasr_tpu.ops.pallas.flash_attention import flash_attention
+        from mtasr_tpu.ops.pallas.spmd import flash_attention_spmd
         gate = _attention_gate(p, x, H)
         kv_lens = (jnp.sum(key_valid_mask.astype(jnp.int32), -1)
                    if key_valid_mask is not None else None)
-        out = flash_attention(q, k, v, kv_lens=kv_lens,
-                              pos_bias=position_bias.astype(x.dtype),
-                              gate=gate)
+        # flash_spmd: the same kernels wrapped in custom_partitioning
+        # rules (ops/pallas/spmd.py) so a dp x tp mesh splits them
+        # per-device instead of gathering; selected by the mesh-building
+        # CLIs / Trainer. Interpret mode on CPU keeps the mesh tests and
+        # virtual-device dryruns runnable.
+        fa = (functools.partial(flash_attention_spmd,
+                                interpret=jax.default_backend() == "cpu")
+              if impl == "flash_spmd" else flash_attention)
+        out = fa(q, k, v, kv_lens=kv_lens,
+                 pos_bias=position_bias.astype(x.dtype),
+                 gate=gate)
     else:
         bias = gated_position_bias(
             position_bias, x, p["gru_rel_pos_linear"]["weight"].T,

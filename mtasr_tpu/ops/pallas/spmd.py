@@ -184,3 +184,179 @@ def decode_attention_int8_chunk_spmd(q, k_cache, v_cache, kv_scale, mask,
                                      *, interpret: bool = False):
     return _make(True, True, interpret)(q, k_cache, v_cache, kv_scale,
                                         mask)
+
+
+# ---------------------------------------------------------------------------
+# Flash attention (the WavLM encoder kernel) under a mesh.
+#
+# Training on a pod runs the encoder's flash forward AND its 3-kernel Pallas
+# backward inside the pjit'd train step; both are Mosaic custom calls with
+# the same partitioning blind spot as the decode kernels. Rules: batch on
+# any axes, heads at kv-head granularity (the encoder is MHA, g = 1, but the
+# GQA compounds keep the rule general), T/S/D replicated (utterances are
+# <= 20 s — SURVEY §5 long-context note — so sequence stays on-chip).
+#
+# The one cross-shard reduction: pos_bias is shared across the batch, so its
+# gradient sums over batch rows — each shard psums its local dpb over the
+# batch mesh axes inside the per-shard lowering (dq/dk/dv/dg stay local).
+# ---------------------------------------------------------------------------
+
+def _flash_rule(value_types, bwd: bool):
+    """(rule, kwargs) for the flash fwd/bwd partition. The GQA compound
+    (kv g) collapses to a plain kv factor for MHA — Shardy rejects
+    size-1 factors inside compounds (the encoder is MHA, g = 1)."""
+    q_shape = _dims(value_types[0])
+    g = q_shape[2] // _dims(value_types[1])[2]
+    hq = "(kv g)" if g > 1 else "kv"
+    q_m, c_m = f"b t {hq} d", "b s kv dk"
+    pb_m, g_m, lse_m = f"{hq} t s", f"b {hq} t", f"b {hq} o t"
+    ops = [q_m, c_m, c_m, "b", pb_m, g_m]
+    res = [q_m, lse_m]
+    if bwd:
+        ops += [q_m, lse_m, q_m]
+        res = [q_m, c_m, c_m, pb_m, g_m]
+    need = ("t",) + (("g",) if g > 1 else ()) + ("d", "s", "dk", "o")
+    kw = dict(need_replication_factors=need)
+    if g > 1:
+        kw["g"] = g
+    return ", ".join(ops) + " -> " + ", ".join(res), kw
+
+
+def _batch_axes(arg_shapes):
+    """Mesh axis names sharding q's batch dim (dim 0)."""
+    spec = arg_shapes[0].sharding.spec
+    if not spec or spec[0] is None:
+        return ()
+    b = spec[0]
+    return tuple(b) if isinstance(b, tuple) else (b,)
+
+
+@functools.lru_cache(maxsize=None)
+def _flash_fwd_cp(scale, causal, q_offset, block_q, block_k, interpret):
+    from mtasr_tpu.ops.pallas import flash_attention as _fa
+
+    def fn(q, k, v, kv_lens, pos_bias, gate):
+        out, lse = _fa._flash_forward(
+            q, k, v, kv_lens, pos_bias, gate, scale, causal, q_offset,
+            block_q, block_k, interpret)
+        B, T, Hq, _ = q.shape
+        # lse rides fused [B*Hq, 1, T] inside the kernel; unfuse at the
+        # partition boundary so its dims carry separate b / head factors
+        return out, lse.reshape(B, Hq, 1, T)
+
+    cp = custom_partitioning(fn)
+
+    def sharding_rule(mesh, value_types, result_types):
+        del mesh, result_types
+        return _flash_rule(value_types, bwd=False)
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg_shardings = tuple(a.sharding for a in arg_shapes)
+        out_shardings = tuple(r.sharding for r in result_shape)
+        return mesh, fn, out_shardings, arg_shardings
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        del mesh
+        q_s = arg_shapes[0].sharding
+        return tuple(q_s for _ in result_shape)
+
+    cp.def_partition(partition=partition,
+                     infer_sharding_from_operands=infer_sharding_from_operands,
+                     sharding_rule=sharding_rule)
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
+def _flash_bwd_cp(scale, causal, q_offset, block_q, block_k, interpret):
+    from mtasr_tpu.ops.pallas import flash_attention as _fa
+
+    def fn(q, k, v, kv_lens, pos_bias, gate, out, lse4, g_out):
+        B, T, Hq, _ = q.shape
+        lse = lse4.reshape(B * Hq, 1, T)
+        return _fa._flash_backward(
+            q, k, v, kv_lens, pos_bias, gate, out, lse, g_out, scale,
+            causal, q_offset, block_q, block_k, interpret)
+
+    cp = custom_partitioning(fn)
+
+    def sharding_rule(mesh, value_types, result_types):
+        del mesh, result_types
+        return _flash_rule(value_types, bwd=True)
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg_shardings = tuple(a.sharding for a in arg_shapes)
+        out_shardings = tuple(r.sharding for r in result_shape)
+        baxes = _batch_axes(arg_shapes)
+
+        def lower_fn(*ops):
+            dq, dk, dv, dpb, dg = fn(*ops)
+            if baxes:
+                # pos_bias is batch-shared: its grad reduces over the
+                # batch rows this shard does not hold
+                dpb = jax.lax.psum(dpb, baxes)
+            return dq, dk, dv, dpb, dg
+
+        return mesh, lower_fn, out_shardings, arg_shardings
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        del mesh
+        shardings = tuple(a.sharding for a in arg_shapes)
+        # dq/dk/dv/dg mirror their primals; dpb mirrors pos_bias
+        return (shardings[0], shardings[1], shardings[2], shardings[4],
+                shardings[5])
+
+    cp.def_partition(partition=partition,
+                     infer_sharding_from_operands=infer_sharding_from_operands,
+                     sharding_rule=sharding_rule)
+    return cp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def _flash_spmd(q, k, v, kv_lens, pos_bias, gate, scale, causal, q_offset,
+                block_q, block_k, interpret):
+    out, _ = _flash_fwd_cp(scale, causal, q_offset, block_q, block_k,
+                           interpret)(q, k, v, kv_lens, pos_bias, gate)
+    return out
+
+
+def _flash_spmd_fwd(q, k, v, kv_lens, pos_bias, gate, scale, causal,
+                    q_offset, block_q, block_k, interpret):
+    out, lse4 = _flash_fwd_cp(scale, causal, q_offset, block_q, block_k,
+                              interpret)(q, k, v, kv_lens, pos_bias, gate)
+    return out, (q, k, v, kv_lens, pos_bias, gate, out, lse4)
+
+
+def _flash_spmd_bwd(scale, causal, q_offset, block_q, block_k, interpret,
+                    res, g_out):
+    q, k, v, kv_lens, pos_bias, gate, out, lse4 = res
+    dq, dk, dv, dpb, dg = _flash_bwd_cp(
+        scale, causal, q_offset, block_q, block_k, interpret)(
+            q, k, v, kv_lens, pos_bias, gate, out, lse4, g_out)
+    return dq, dk, dv, None, dpb, dg
+
+
+_flash_spmd.defvjp(_flash_spmd_fwd, _flash_spmd_bwd)
+
+
+def flash_attention_spmd(q, k, v, *, kv_lens=None, pos_bias=None, gate=None,
+                         scale=None, causal: bool = False, q_offset: int = 0,
+                         block_q: int = 512, block_k: int = 512,
+                         interpret: bool = False):
+    """flash_attention under a mesh (batch on dp, heads on tp).
+
+    Requires pos_bias (the encoder's gated rel-pos form — the only flash
+    call site that runs under a mesh); no-bias callers use XLA attention
+    there. kv_lens is synthesized when None so the partitioned op has a
+    fixed operand list.
+    """
+    if pos_bias is None:
+        raise ValueError("flash_attention_spmd requires pos_bias "
+                         "(encoder gated rel-pos form)")
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if gate is None:
+        gate = jnp.ones((q.shape[0], q.shape[2], q.shape[1]), q.dtype)
+    if kv_lens is None:
+        kv_lens = jnp.full((q.shape[0],), k.shape[1], jnp.int32)
+    return _flash_spmd(q, k, v, kv_lens.astype(jnp.int32), pos_bias, gate,
+                       scale, causal, q_offset, block_q, block_k, interpret)

@@ -83,6 +83,18 @@ class Trainer:
             from mtasr_tpu.parallel.mesh import shard_params
             params = shard_params(params, mesh)
             logger.info("sharded params over mesh %s", dict(mesh.shape))
+            # the Pallas kernels need their SPMD partitioning rules under
+            # a mesh (ops/pallas/spmd.py) — a bare pallas_call is a Mosaic
+            # custom call the partitioner would otherwise gather for:
+            # flash fwd+bwd inside the train step, the decode kernel in
+            # eval generate
+            import jax as _jax
+            if (cfg.encoder.attention_impl == "flash"
+                    or (cfg.encoder.attention_impl == "auto"
+                        and _jax.default_backend() != "cpu")):
+                cfg.encoder.attention_impl = "flash_spmd"
+            if cfg.decoder.decode_attn_impl == "pallas":
+                cfg.decoder.decode_attn_impl = "pallas_spmd"
         # opt state inherits param shardings (zeros_like under jit keeps
         # the NamedShardings of its prototypes)
         self.state = TrainState(params=params,

@@ -11,6 +11,7 @@ the regime tests/test_decode_attention.py validates), with the kernels in
 interpret mode on CPU. No reference counterpart: the reference never
 shards the model (inference_asr_gpus.py is NCCL data sharding only).
 """
+import functools
 import re
 
 import numpy as np
@@ -147,6 +148,119 @@ def test_single_device_passthrough():
     wrapped = jax.jit(
         lambda *o: spmd.decode_attention_spmd(*o, interpret=True))(*ops)
     np.testing.assert_array_equal(np.asarray(direct), np.asarray(wrapped))
+
+
+def _flash_case(B=4, T=64, S=64, H=4, D=32, seed=0):
+    key = jax.random.key(seed)
+    q = jax.random.normal(key, (B, T, H, D), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, S, H, D),
+                          jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, S, H, D),
+                          jnp.float32)
+    pos_bias = 0.1 * jax.random.normal(jax.random.fold_in(key, 3),
+                                       (H, T, S), jnp.float32)
+    gate = jax.nn.sigmoid(jax.random.normal(jax.random.fold_in(key, 4),
+                                            (B, H, T), jnp.float32))
+    kv_lens = jnp.asarray([S, S - 7, S - 3, S] * (B // 4), jnp.int32)
+    return q, k, v, kv_lens, pos_bias, gate
+
+
+def _flash_shard(mesh, ops):
+    specs = (P("data", None, "model", None),     # q
+             P("data", None, "model", None),     # k
+             P("data", None, "model", None),     # v
+             P("data",),                          # kv_lens
+             P("model", None, None),              # pos_bias
+             P("data", "model", None))            # gate
+    return tuple(jax.device_put(o, NamedSharding(mesh, s))
+                 for o, s in zip(ops, specs))
+
+
+def test_flash_spmd_forward_matches_unsharded():
+    """Encoder flash attention under dp x tp: per-device kernel calls on
+    shard-local (batch, head) slices must reproduce the unsharded output,
+    with no gather of q/k/v in the compiled HLO."""
+    from mtasr_tpu.ops.pallas.flash_attention import flash_attention
+    from mtasr_tpu.ops.pallas.spmd import flash_attention_spmd
+    ops = _flash_case()
+    q, k, v, kv_lens, pos_bias, gate = ops
+    ref = flash_attention(q, k, v, kv_lens=kv_lens, pos_bias=pos_bias,
+                          gate=gate, interpret=True)
+    mesh = _mesh(2, 2)
+    sharded = _flash_shard(mesh, ops)
+    jf = jax.jit(lambda *o: flash_attention_spmd(
+        o[0], o[1], o[2], kv_lens=o[3], pos_bias=o[4], gate=o[5],
+        interpret=True), out_shardings=sharded[0].sharding)
+    out = jf(*sharded)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    hlo = jf.lower(*sharded).compile().as_text()
+    assert not re.search(r"all-gather", hlo)
+
+
+def test_flash_spmd_grads_match_unsharded():
+    """The 3-kernel Pallas backward under the mesh: dq/dk/dv/dgate are
+    shard-local; dpos_bias reduces over batch rows (the per-shard psum in
+    ops/pallas/spmd.py) — all five must match the unsharded grads."""
+    from mtasr_tpu.ops.pallas.flash_attention import flash_attention
+    from mtasr_tpu.ops.pallas.spmd import flash_attention_spmd
+    ops = _flash_case(seed=5)
+    q, k, v, kv_lens, pos_bias, gate = ops
+
+    def loss(fa, q, k, v, pb, g):
+        out = fa(q, k, v, kv_lens=kv_lens, pos_bias=pb, gate=g,
+                 interpret=True)
+        return jnp.sum(out * out)
+
+    ref = jax.grad(functools.partial(loss, flash_attention),
+                   argnums=(0, 1, 2, 3, 4))(q, k, v, pos_bias, gate)
+
+    mesh = _mesh(2, 2)
+    qs, ks, vs, _, pbs, gs = _flash_shard(mesh, ops)
+    got = jax.jit(jax.grad(
+        functools.partial(loss, flash_attention_spmd),
+        argnums=(0, 1, 2, 3, 4)))(qs, ks, vs, pbs, gs)
+    names = ("dq", "dk", "dv", "dpos_bias", "dgate")
+    for n, r, g in zip(names, ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=5e-4, atol=5e-4, err_msg=n)
+
+
+def test_wavlm_flash_spmd_encoder_matches():
+    """wavlm_forward with attention_impl='flash_spmd' on a dp x tp mesh
+    must match the single-device XLA path (what Trainer/inference select
+    under a mesh)."""
+    from mtasr_tpu.config import WavLMConfig
+    from mtasr_tpu.models.wavlm import init_wavlm_params, wavlm_forward
+    from mtasr_tpu.parallel.mesh import shard_params
+
+    def mk(impl):
+        return WavLMConfig(
+            hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=128, conv_dim=(16, 16), conv_stride=(5, 2),
+            conv_kernel=(10, 3), num_buckets=16, max_bucket_distance=20,
+            num_conv_pos_embeddings=8, num_conv_pos_embedding_groups=2,
+            add_adapter=True, num_adapter_layers=1, output_hidden_size=32,
+            mask_time_prob=0.0, hidden_dropout=0.0, attention_dropout=0.0,
+            activation_dropout=0.0, feat_proj_dropout=0.0,
+            do_stable_layer_norm=True, feat_extract_norm="layer",
+            conv_bias=True, attention_impl=impl)
+
+    params = init_wavlm_params(jax.random.key(0), mk("xla"))
+    B, S = 4, 4000
+    wav = jax.random.normal(jax.random.key(1), (B, S), jnp.float32)
+    am = jnp.ones((B, S), jnp.int32)
+    ref = wavlm_forward(params, mk("xla"), wav, am)
+
+    mesh = _mesh(2, 2)
+    sp = shard_params({"encoder": params}, mesh)["encoder"]
+    ws = jax.device_put(wav, NamedSharding(mesh, P("data", None)))
+    ams = jax.device_put(am, NamedSharding(mesh, P("data", None)))
+    got = jax.jit(lambda p, w, a: wavlm_forward(
+        p, mk("flash_spmd"), w, a))(sp, ws, ams)
+    np.testing.assert_allclose(
+        np.asarray(got.last_hidden_state),
+        np.asarray(ref.last_hidden_state), rtol=2e-4, atol=2e-4)
 
 
 def test_llama_decode_spmd_under_mesh():
