@@ -263,6 +263,60 @@ def test_wavlm_flash_spmd_encoder_matches():
         np.asarray(ref.last_hidden_state), rtol=2e-4, atol=2e-4)
 
 
+def test_train_step_flash_spmd_scan_remat_under_mesh():
+    """Pod-training composition: flash_spmd inside scan_layers + remat
+    inside the pjit'd train step on a dp x tp mesh. The loss/grads must
+    match the XLA-attention path (what the CPU dryrun runs) — this is the
+    config Trainer selects on real multi-chip TPU hardware."""
+    from mtasr_tpu.config import TrainingConfig
+    from mtasr_tpu.models.speech_encoder_decoder import init_model_params
+    from mtasr_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+    from mtasr_tpu.train.freeze import trainable_mask
+    from mtasr_tpu.train.optimizer import make_optimizer
+    from mtasr_tpu.train.train_step import make_train_step
+    from tests.test_composite import make_batch, tiny_cfg
+
+    losses = {}
+    for impl in ("xla", "flash_spmd"):
+        cfg = tiny_cfg(train_mode="hybrid", talker_ctc=True)
+        cfg.encoder.attention_impl = impl
+        cfg.encoder.num_hidden_layers = 3   # >1 so scan actually engages
+        cfg.encoder.scan_layers = True
+        cfg.encoder.remat = True
+        params = init_model_params(jax.random.key(0), cfg)
+        wav, amask, arr = make_batch(cfg, B=4, seed=2)
+        batch = {"input_values": jnp.asarray(wav),
+                 "audio_mask": jnp.asarray(amask),
+                 "decoder_input_ids": jnp.asarray(
+                     arr["decoder_input_ids"], jnp.int32),
+                 "ce_labels": jnp.asarray(arr["ce_labels"], jnp.int32),
+                 "label_spks": jnp.asarray(arr["label_spks"], jnp.int32),
+                 "label_spk_lens": jnp.asarray(
+                     arr["label_spk_lens"], jnp.int32)}
+        tc = TrainingConfig(pcgrad=True, learning_rate=1e-3,
+                            warmup_steps=2, max_steps=10)
+        mask = trainable_mask(params, train_mode=cfg.train_mode,
+                              train_all=True)
+        opt = make_optimizer(tc, mask)
+        step = make_train_step(cfg, tc, opt, trainable_mask=mask,
+                               donate=False)
+        state = opt.init(params)
+        if impl == "flash_spmd":
+            mesh = _mesh(2, 2)
+            params = shard_params(params, mesh)
+            state = opt.init(params)
+            batch = shard_batch(batch, mesh)
+            with mesh:
+                _, _, m = step(params, state, batch, jax.random.key(0))
+                losses[impl] = float(m["loss"])
+        else:
+            _, _, m = step(params, state, batch, jax.random.key(0))
+            losses[impl] = float(m["loss"])
+    assert np.isfinite(losses["flash_spmd"])
+    np.testing.assert_allclose(losses["flash_spmd"], losses["xla"],
+                               rtol=2e-4)
+
+
 def test_llama_decode_spmd_under_mesh():
     """llama_forward with decode_attn_impl='pallas_spmd', params and
     batch sharded over dp x tp: logits must match the single-device XLA
