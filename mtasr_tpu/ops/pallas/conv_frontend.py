@@ -141,16 +141,25 @@ def _conv0_xla(wave, weight, bias, gamma, beta, stride, eps,
     return y.astype(wave.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
-def _conv0_p(wave, weight, bias, gamma, beta, stride, eps, fuse_ln,
-             fuse_act, interpret):
+def _conv0_kernel_call(wave, weight, bias, gamma, beta, stride, eps,
+                       fuse_ln, fuse_act, interpret):
+    """The raw pallas_call (shard-local shapes). Callers go through
+    _conv0_p, which routes via the batch-sharding custom_partitioning
+    rule in ops/pallas/spmd.py so a dp mesh splits the kernel per-device
+    instead of gathering the waveform."""
     B, S = wave.shape
     O, _, K = weight.shape
     T_out = (S - K) // stride + 1
     XW = ((_F * stride + K - stride + 127) // 128) * 128
     Bb = _BB if B % _BB == 0 else (8 if B % 8 == 0 else B)
     A = jnp.transpose(weight, (2, 1, 0)).reshape(K, O).astype(wave.dtype)
-    D = jnp.asarray(_make_D(K, stride), wave.dtype)
+    # selection matrix D[stride*f + j, F*j + f] = 1, built from iotas (not
+    # a host numpy constant: the custom_partitioning tracer in
+    # ops/pallas/spmd.py rejects closed-over jaxpr consts)
+    xw_rows = ((_F * stride + K - stride + 127) // 128) * 128
+    r = lax.broadcasted_iota(jnp.int32, (xw_rows, K * _F), 0)
+    c = lax.broadcasted_iota(jnp.int32, (xw_rows, K * _F), 1)
+    D = (r == stride * (c % _F) + c // _F).astype(wave.dtype)
     n_t = (T_out + _F - 1) // _F
     n_lane_blocks = S // 128
     tail_off = _F * stride // 128
@@ -177,6 +186,15 @@ def _conv0_p(wave, weight, bias, gamma, beta, stride, eps, fuse_ln,
         interpret=interpret,
     )(wave, wave, D, A, bias.astype(jnp.float32)[None],
       gamma.astype(jnp.float32)[None], beta.astype(jnp.float32)[None])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _conv0_p(wave, weight, bias, gamma, beta, stride, eps, fuse_ln,
+             fuse_act, interpret):
+    from mtasr_tpu.ops.pallas.spmd import conv0_kernel_spmd
+    return conv0_kernel_spmd(wave, weight, bias, gamma, beta,
+                             stride=stride, eps=eps, fuse_ln=fuse_ln,
+                             fuse_act=fuse_act, interpret=interpret)
 
 
 def _conv0_fwd(wave, weight, bias, gamma, beta, stride, eps, fuse_ln,

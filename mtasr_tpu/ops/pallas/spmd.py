@@ -187,6 +187,52 @@ def decode_attention_int8_chunk_spmd(q, k_cache, v_cache, kv_scale, mask,
 
 
 # ---------------------------------------------------------------------------
+# conv0 frontend kernel under a mesh: purely batch-parallel (weights/LN
+# params are tiny and replicated; fused LN normalizes over the FULL channel
+# dim, so channels must not shard). Wrapped unconditionally by
+# conv_frontend._conv0_p — the single-device passthrough is bitwise.
+# ---------------------------------------------------------------------------
+
+_CONV0_RULE = "b s, o u k, oo, og, ob -> b t oz"
+_CONV0_NEED = ("s", "o", "u", "k", "oo", "og", "ob", "t", "oz")
+
+
+@functools.lru_cache(maxsize=None)
+def _conv0_cp(stride, eps, fuse_ln, fuse_act, interpret):
+    from mtasr_tpu.ops.pallas import conv_frontend as _cf
+
+    def fn(wave, weight, bias, gamma, beta):
+        return _cf._conv0_kernel_call(wave, weight, bias, gamma, beta,
+                                      stride, eps, fuse_ln, fuse_act,
+                                      interpret)
+
+    cp = custom_partitioning(fn)
+
+    def sharding_rule(mesh, value_types, result_types):
+        del mesh, value_types, result_types
+        return _CONV0_RULE, dict(need_replication_factors=_CONV0_NEED)
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg_shardings = tuple(a.sharding for a in arg_shapes)
+        return mesh, fn, result_shape.sharding, arg_shardings
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        del mesh, result_shape
+        return arg_shapes[0].sharding
+
+    cp.def_partition(partition=partition,
+                     infer_sharding_from_operands=infer_sharding_from_operands,
+                     sharding_rule=sharding_rule)
+    return cp
+
+
+def conv0_kernel_spmd(wave, weight, bias, gamma, beta, *, stride, eps,
+                      fuse_ln, fuse_act, interpret):
+    return _conv0_cp(stride, eps, fuse_ln, fuse_act, interpret)(
+        wave, weight, bias, gamma, beta)
+
+
+# ---------------------------------------------------------------------------
 # Flash attention (the WavLM encoder kernel) under a mesh.
 #
 # Training on a pod runs the encoder's flash forward AND its 3-kernel Pallas

@@ -263,6 +263,30 @@ def test_wavlm_flash_spmd_encoder_matches():
         np.asarray(ref.last_hidden_state), rtol=2e-4, atol=2e-4)
 
 
+def test_conv0_kernel_batch_sharded():
+    """The conv0 frontend kernel is wrapped unconditionally in a
+    batch-parallel custom_partitioning rule (conv_frontend._conv0_p):
+    batch-sharded waveform input must produce the bitwise-unsharded
+    output with no gather."""
+    from mtasr_tpu.ops.pallas.conv_frontend import conv0_fused
+    B, S, O, K, stride = 4, 12800, 512, 10, 5
+    key = jax.random.key(0)
+    wave = jax.random.normal(key, (B, S), jnp.float32)
+    w = 0.1 * jax.random.normal(jax.random.fold_in(key, 1), (O, 1, K),
+                                jnp.float32)
+    b = 0.01 * jax.random.normal(jax.random.fold_in(key, 2), (O,),
+                                 jnp.float32)
+    g, be = jnp.ones((O,), jnp.float32), jnp.zeros((O,), jnp.float32)
+    ref = conv0_fused(wave, w, b, g, be, stride=stride, interpret=True)
+    mesh = _mesh(4, 2)
+    ws = jax.device_put(wave, NamedSharding(mesh, P("data", None)))
+    jf = jax.jit(lambda wv: conv0_fused(wv, w, b, g, be, stride=stride,
+                                        interpret=True))
+    out = jf(ws)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    assert not re.search(r"all-gather", jf.lower(ws).compile().as_text())
+
+
 def test_train_step_flash_spmd_scan_remat_under_mesh():
     """Pod-training composition: flash_spmd inside scan_layers + remat
     inside the pjit'd train step on a dp x tp mesh. The loss/grads must
