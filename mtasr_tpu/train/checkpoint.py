@@ -27,32 +27,73 @@ def _ckpt_dir(output_dir: str, step: int) -> str:
     return os.path.join(os.path.abspath(output_dir), f"checkpoint-{step}")
 
 
+# One process-wide AsyncCheckpointer: orbax copies device arrays to host
+# synchronously inside save() (so donated/overwritten buffers are safe) and
+# serializes/writes in a background thread — training resumes while the
+# checkpoint lands on disk. The reference's HF Trainer saves synchronously,
+# stalling every save_steps; at flagship scale (params + AdamW moments)
+# that is seconds per save. save() itself waits for any previous pending
+# save, so back-to-back saves can never interleave.
+_ASYNC_CKPTR: Optional[ocp.AsyncCheckpointer] = None
+
+
+def _async_ckptr() -> ocp.AsyncCheckpointer:
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(
+            ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_pending_saves() -> None:
+    """Block until any in-flight async checkpoint write has committed."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def save_checkpoint(output_dir: str, step: int, params, opt_state=None,
                     extra: Optional[dict] = None,
-                    save_total_limit: Optional[int] = None) -> str:
+                    save_total_limit: Optional[int] = None,
+                    blocking: bool = False) -> str:
+    """Write checkpoint-<step>. blocking=False (default) returns as soon as
+    the device->host copy is done and commits the write in the background;
+    restore_checkpoint/last_checkpoint drain pending writes first, so
+    readers never observe a partial checkpoint from this process."""
     path = _ckpt_dir(output_dir, step)
-    ckptr = ocp.StandardCheckpointer()
     tree = {"params": params}
     if opt_state is not None:
         tree["opt_state"] = opt_state
     if extra is not None:
         tree["extra"] = extra
+    ckptr = _async_ckptr()
+    ckptr.wait_until_finished()      # serialize with any previous save
     if os.path.exists(path):
         shutil.rmtree(path)
-    ckptr.save(path, tree)
-    ckptr.wait_until_finished()
+    ckptr.save(path, args=ocp.args.StandardSave(tree))
+    if blocking:
+        ckptr.wait_until_finished()
     if save_total_limit:
-        _apply_retention(output_dir, save_total_limit)
+        # retention only ever deletes checkpoints OLDER than the in-flight
+        # one (counted explicitly via `step`: the async write lands in a
+        # tmp dir and renames on commit, so a directory listing may not
+        # see it yet), so it cannot race the pending write
+        _apply_retention(output_dir, save_total_limit, in_flight=step)
     return path
 
 
-def _apply_retention(output_dir: str, limit: int) -> None:
-    steps = sorted(list_checkpoints(output_dir))
-    for s in steps[:-limit]:
-        shutil.rmtree(_ckpt_dir(output_dir, s), ignore_errors=True)
+def _apply_retention(output_dir: str, limit: int,
+                     in_flight: Optional[int] = None) -> None:
+    # non-draining listing + the (possibly still-writing) in-flight step:
+    # composes with an async save without forcing it to finish
+    steps = set(_list_checkpoints_nosync(output_dir))
+    if in_flight is not None:
+        steps.add(in_flight)
+    for s in sorted(steps)[:-limit]:
+        if s != in_flight:
+            shutil.rmtree(_ckpt_dir(output_dir, s), ignore_errors=True)
 
 
-def list_checkpoints(output_dir: str) -> List[int]:
+def _list_checkpoints_nosync(output_dir: str) -> List[int]:
     if not os.path.isdir(output_dir):
         return []
     out = []
@@ -61,6 +102,13 @@ def list_checkpoints(output_dir: str) -> List[int]:
         if m:
             out.append(int(m.group(1)))
     return sorted(out)
+
+
+def list_checkpoints(output_dir: str) -> List[int]:
+    # drain in-flight writes so a just-saved checkpoint is never listed
+    # (and then resumed from) half-written
+    wait_for_pending_saves()
+    return _list_checkpoints_nosync(output_dir)
 
 
 def last_checkpoint(output_dir: str) -> Optional[str]:
@@ -88,6 +136,7 @@ def resume_or_raise(output_dir: str, overwrite: bool = False,
 def restore_checkpoint(path: str, template: dict):
     """template: {'params': ..., ['opt_state': ...], ['extra': ...]} with
     abstract or concrete arrays defining structure/sharding."""
+    wait_for_pending_saves()
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(path, target=template)
 

@@ -263,6 +263,10 @@ class Trainer:
                 break
         self.save()
         self._maybe_load_best()
+        # drain any in-flight async checkpoint write before handing back
+        # control (a process exit with a pending write would truncate it)
+        from mtasr_tpu.train.checkpoint import wait_for_pending_saves
+        wait_for_pending_saves()
         return self.state
 
     # -- best-model retention (trainer_seq2seq.py:1663-1704; run.sh:202-204:

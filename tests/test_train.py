@@ -118,6 +118,33 @@ def test_freeze_mask_blocks_updates():
     assert 0 < summ["trainable"] < summ["total"]
 
 
+def test_async_checkpoint_semantics(tmp_path):
+    """save_checkpoint is async by default (orbax background write — the
+    reference's HF Trainer stalls on every save). Readers must never see a
+    partial write: restore/list/last_checkpoint drain pending saves, and
+    retention only deletes checkpoints older than the in-flight one."""
+    import os
+    from mtasr_tpu.train.checkpoint import wait_for_pending_saves
+    params = {"w": jnp.arange(12.0).reshape(3, 4), "b": jnp.ones((4,))}
+    out = str(tmp_path / "exp")
+    p10 = save_checkpoint(out, 10, params, extra={"step": np.asarray(10)})
+    # immediate restore drains the in-flight write
+    tpl = {"params": jax.tree_util.tree_map(np.zeros_like, params),
+           "extra": {"step": np.asarray(0)}}
+    r = restore_checkpoint(last_checkpoint(out), tpl)
+    np.testing.assert_array_equal(np.asarray(r["params"]["w"]),
+                                  np.asarray(params["w"]))
+    assert int(r["extra"]["step"]) == 10
+    # retention composes with a pending async save
+    save_checkpoint(out, 20, params, save_total_limit=1)
+    wait_for_pending_saves()
+    assert last_checkpoint(out).endswith("checkpoint-20")
+    assert not os.path.exists(p10)
+    # blocking mode still available
+    save_checkpoint(out, 30, params, blocking=True)
+    assert last_checkpoint(out).endswith("checkpoint-30")
+
+
 def test_checkpoint_roundtrip_and_partial(tmp_path):
     cfg, tc, params, mask, opt, batch = _setup(mode="attention", pcgrad=False)
     out = str(tmp_path / "exp")
