@@ -1,4 +1,6 @@
-"""SPMD partitioning rules for the Pallas decode-attention kernels.
+"""SPMD partitioning rules for every Pallas kernel in the framework:
+the four decode-attention variants, flash attention (forward + 3-kernel
+backward), and the conv0 frontend kernel.
 
 Pallas lowers to Mosaic custom calls, which the XLA/Shardy partitioner
 cannot partition on its own: under a dp x tp mesh it would gather every
@@ -128,6 +130,8 @@ def _make(int8: bool, chunk: bool, interpret: bool):
                           **(dict(two=2) if int8 else {}))
 
     def partition(mesh, arg_shapes, result_shape):
+        from jax.sharding import NamedSharding, PartitionSpec
+
         arg_shardings = tuple(a.sharding for a in arg_shapes)
         out_sharding = result_shape.sharding
 
@@ -141,9 +145,28 @@ def _make(int8: bool, chunk: bool, interpret: bool):
         d = q_l[-1]
         hq_l = q_l[-2]
         hkv_l = k_l[-1] // d
-        kernel_ok = (k_l[-1] % d == 0 and hkv_l >= 1
-                     and hq_l % hkv_l == 0
-                     and _da.supported(hq_l, hkv_l, d))
+        # the per-shard q/cache head split must preserve the global GQA
+        # ratio — guaranteed when the Shardy rule drove propagation, but
+        # re-checked so a hand-placed / GSPMD-mode sharding can never
+        # reach the kernel (or the reference math) with mismatched heads
+        g_global = arg_shapes[0].shape[-2] // (arg_shapes[1].shape[-1] // d)
+        consistent = (k_l[-1] % d == 0 and hkv_l >= 1
+                      and hq_l == g_global * hkv_l)
+        if not consistent:
+            # defensive reshard: keep only the batch-dim sharding (the
+            # partitioner inserts the reshapes); result mirrors q's dims
+            def batch_only(a):
+                spec = a.sharding.spec
+                b = spec[0] if len(spec) else None
+                return NamedSharding(
+                    mesh, PartitionSpec(b, *([None] * (len(a.shape) - 1))))
+
+            arg_shardings = tuple(batch_only(a) for a in arg_shapes)
+            out_sharding = batch_only(arg_shapes[0])
+            kernel_ok = _da.supported(
+                arg_shapes[0].shape[-2], arg_shapes[1].shape[-1] // d, d)
+        else:
+            kernel_ok = _da.supported(hq_l, hkv_l, d)
 
         def lower_fn(*ops):
             return (fn if kernel_ok else ref)(*ops)
