@@ -341,10 +341,13 @@ def test_train_step_flash_spmd_scan_remat_under_mesh():
                                rtol=2e-4)
 
 
-def test_llama_decode_spmd_under_mesh():
+@pytest.mark.parametrize("quantized", [False, True])
+def test_llama_decode_spmd_under_mesh(quantized):
     """llama_forward with decode_attn_impl='pallas_spmd', params and
     batch sharded over dp x tp: logits must match the single-device XLA
-    path (the engine-level integration inference_asr exercises)."""
+    path (the engine-level integration inference_asr exercises). The
+    quantized variant covers the int8 KV cache — its interleaved scale
+    rows shard on the kv factor alongside the cache lanes."""
     from dataclasses import replace
     from mtasr_tpu.config import LlamaConfig
     from mtasr_tpu.models.llama import (
@@ -362,7 +365,7 @@ def test_llama_decode_spmd_under_mesh():
     pos = jnp.broadcast_to(jnp.arange(L0)[None], (B, L0))
 
     def run(c, p, e):
-        cache = KVCache.init(c, B, L0 + 2)
+        cache = KVCache.init(c, B, L0 + 2, quantized=quantized)
         lg, cache = llama_forward(p, c, e, pos, kv_cache=cache,
                                   cache_offset=0)
         # one decode step through the kernel/spmd path
@@ -379,5 +382,8 @@ def test_llama_decode_spmd_under_mesh():
     es = jax.device_put(emb, NamedSharding(mesh, P("data", None, None)))
     got = jax.jit(lambda p, e: run(
         replace(cfg, decode_attn_impl="pallas_spmd"), p, e))(sp, es)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=2e-4, atol=2e-4)
+    # int8: the sharded kernel quantizes q per-shard vs the XLA path's
+    # dequantized einsum — same tolerance family as the kernel tests
+    tol = (dict(rtol=3e-2, atol=3e-2) if quantized
+           else dict(rtol=2e-4, atol=2e-4))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), **tol)
