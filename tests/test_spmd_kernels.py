@@ -263,6 +263,27 @@ def test_wavlm_flash_spmd_encoder_matches():
         np.asarray(ref.last_hidden_state), rtol=2e-4, atol=2e-4)
 
 
+def test_trainer_selects_spmd_impls_under_mesh():
+    """Trainer must flip the Pallas impls to their SPMD variants when a
+    mesh is active (decode always; flash only on non-CPU backends, where
+    auto would have picked the compiled kernel)."""
+    from mtasr_tpu.config import DataConfig, TrainingConfig
+    from mtasr_tpu.models.speech_encoder_decoder import init_model_params
+    from mtasr_tpu.parallel.mesh import make_mesh
+    from mtasr_tpu.train.loop import Trainer
+    from tests.test_composite import tiny_cfg
+
+    cfg = tiny_cfg(train_mode="attention", talker_ctc=False)
+    params = init_model_params(jax.random.key(0), cfg)
+    mesh = make_mesh(dp_size=4, tp_size=2, devices=jax.devices()[:8])
+    tc = TrainingConfig(learning_rate=1e-3, warmup_steps=1, max_steps=2)
+    Trainer(cfg, tc, DataConfig(), params,
+            freeze_kwargs={"train_all": True}, mesh=mesh)
+    assert cfg.decoder.decode_attn_impl == "pallas_spmd"
+    # on the CPU backend 'auto' resolves to xla, so it must NOT flip
+    assert cfg.encoder.attention_impl == "auto"
+
+
 def test_conv0_kernel_batch_sharded():
     """The conv0 frontend kernel is wrapped unconditionally in a
     batch-parallel custom_partitioning rule (conv_frontend._conv0_p):
