@@ -57,6 +57,13 @@ class WavLMConfig:
     activation_dropout: float = 0.1
     feat_proj_dropout: float = 0.0
     layerdrop: float = 0.0  # reference sets layerdrop=0 at assembly time
+    # keep the positional conv's torch weight_norm as separate (g, v)
+    # parameters. Adam is not parametrization-invariant: the reference (HF
+    # WavLM) trains g and v as distinct optimizer slots, so fine-tuning with
+    # an unfrozen encoder only reproduces its dynamics under this flag.
+    # Inference/serving fuses to a plain weight either way (wavlm_encoder
+    # dispatches on the param keys).
+    pos_conv_weight_norm: bool = False
     # attention implementation: 'auto' (flash on TPU, xla on CPU — the
     # production default), 'xla' (fused by the compiler, materializes the
     # gated rel-pos bias), or 'flash' (Pallas kernel, composes the bias in

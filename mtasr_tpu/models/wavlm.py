@@ -83,11 +83,20 @@ def init_wavlm_params(key: jax.Array, cfg: WavLMConfig, dtype=jnp.float32) -> di
             next(keys), (cfg.hidden_size,), dtype)
 
     # encoder
+    pos_conv = conv1d_init(
+        next(keys), cfg.hidden_size, cfg.hidden_size,
+        cfg.num_conv_pos_embeddings,
+        groups=cfg.num_conv_pos_embedding_groups, dtype=dtype)
+    if cfg.pos_conv_weight_norm:
+        # torch weight_norm init (dim=2): g = ||w|| over (out, in) per
+        # kernel position, v = w — see config.pos_conv_weight_norm
+        w = pos_conv.pop("weight")
+        pos_conv["weight_g"] = jnp.sqrt(
+            jnp.sum(w.astype(jnp.float32) ** 2, axis=(0, 1),
+                    keepdims=True)).astype(dtype)
+        pos_conv["weight_v"] = w
     enc: dict = {
-        "pos_conv_embed": {"conv": conv1d_init(
-            next(keys), cfg.hidden_size, cfg.hidden_size,
-            cfg.num_conv_pos_embeddings,
-            groups=cfg.num_conv_pos_embedding_groups, dtype=dtype)},
+        "pos_conv_embed": {"conv": pos_conv},
         "layer_norm": layer_norm_init(cfg.hidden_size, dtype),
         "layers": {},
     }
@@ -307,8 +316,19 @@ def wavlm_encoder(p: dict, cfg: WavLMConfig, hidden: jax.Array,
     if attention_mask is not None:
         hidden = hidden * attention_mask[:, :, None].astype(hidden.dtype)
 
-    # positional conv embedding (grouped conv, same-pad trims one frame)
-    pos = conv1d(p["pos_conv_embed"]["conv"], hidden,
+    # positional conv embedding (grouped conv, same-pad trims one frame).
+    # Dispatch on keys: a weight-normed tree carries (weight_g, weight_v)
+    # — HF WavLM's torch weight_norm(dim=2): magnitude per kernel position,
+    # direction normalized over (out, in). Composed in f32 so the (g, v)
+    # gradients match torch's parametrization backward.
+    conv_p = p["pos_conv_embed"]["conv"]
+    if "weight_v" in conv_p:
+        v = conv_p["weight_v"].astype(jnp.float32)
+        norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True))
+        w = conv_p["weight_g"].astype(jnp.float32) * v / norm
+        conv_p = {"weight": w.astype(conv_p["weight_v"].dtype),
+                  **({"bias": conv_p["bias"]} if "bias" in conv_p else {})}
+    pos = conv1d(conv_p, hidden,
                  padding=cfg.num_conv_pos_embeddings // 2,
                  groups=cfg.num_conv_pos_embedding_groups)
     if cfg.num_conv_pos_embeddings % 2 == 0:

@@ -1,6 +1,23 @@
 """Optimizer: AdamW + linear warmup-decay + global-norm clipping + freeze
-masking — matches the reference's HF Trainer defaults (run.sh:209-218:
-lr 3e-5, warmup 400, max_grad_norm 1.0; HF 'linear' scheduler)."""
+masking — matches the reference's HF Trainer semantics exactly
+(run.sh:209-218: lr 3e-5, warmup 400, max_grad_norm 1.0; HF 'linear'
+scheduler; HF Trainer.create_optimizer decay parameter-grouping).
+
+Two semantics that the obvious optax spelling gets WRONG and that are
+pinned by the trainer A/B (tests/test_reference_ab.py):
+
+* **Schedule indexing.** HF's `get_linear_schedule_with_warmup` is a
+  LambdaLR: optimizer step t (0-indexed) runs at factor `lambda(t)`, so
+  with warmup>0 the FIRST optimizer step runs at lr == 0 (lambda(0) =
+  0/warmup). The moments still advance on that step. We reproduce that
+  exactly — optax's schedule `count` is the number of prior updates,
+  which equals HF's scheduler epoch counter.
+* **Decay parameter grouping.** HF `Trainer.create_optimizer` puts biases
+  and every normalization parameter (nn.LayerNorm instances + any name
+  matching bias/layernorm/rmsnorm/norm/_norm) in a weight_decay=0.0
+  group. `optax.adamw` decays everything by default — we pass the
+  equivalent path mask.
+"""
 from __future__ import annotations
 
 from typing import Optional
@@ -12,13 +29,40 @@ from mtasr_tpu.config import TrainingConfig
 
 def linear_warmup_schedule(lr: float, warmup_steps: int,
                            total_steps: int) -> optax.Schedule:
-    """HF get_linear_schedule_with_warmup semantics."""
+    """HF get_linear_schedule_with_warmup semantics, including the lr==0
+    first step under warmup (LambdaLR evaluates lambda(0) for the first
+    optimizer step; transformers/optimization.py get_linear_schedule)."""
     def schedule(step):
-        warm = lr * (step + 1) / max(1, warmup_steps)
-        decay = lr * (total_steps - step) / max(1, total_steps - warmup_steps)
         import jax.numpy as jnp
-        return jnp.where(step < warmup_steps, warm, jnp.maximum(decay, 0.0))
+        warm = lr * step / max(1, warmup_steps)
+        decay = lr * (total_steps - step) / max(1, total_steps - warmup_steps)
+        return jnp.where(step < warmup_steps, warm,
+                         jnp.maximum(decay, 0.0))
     return schedule
+
+
+def _is_no_decay(path_keys) -> bool:
+    """Our param-tree spelling of HF's forbidden_name_patterns
+    (transformers Trainer.get_decay_parameter_names: bias, layernorm,
+    rmsnorm, (^|.)norm($|.), _norm, plus nn.LayerNorm instances). Our
+    normalization modules are named *norm*, ln, ln_*, *_ln (separator
+    branches / refiners)."""
+    for k in path_keys:
+        if k == "bias" or "norm" in k:
+            return True
+        if k == "ln" or k.startswith("ln_") or k.endswith("_ln"):
+            return True
+    return False
+
+
+def hf_decay_mask(params):
+    """Pytree of bools: True where HF's AdamW would apply weight decay."""
+    import jax
+
+    def f(path, _leaf):
+        keys = [str(p.key) for p in path if hasattr(p, "key")]
+        return not _is_no_decay(keys)
+    return jax.tree_util.tree_map_with_path(f, params)
 
 
 def make_optimizer(tc: TrainingConfig, trainable: Optional[dict] = None,
@@ -34,7 +78,8 @@ def make_optimizer(tc: TrainingConfig, trainable: Optional[dict] = None,
     tx = optax.chain(
         optax.clip_by_global_norm(tc.max_grad_norm),
         optax.adamw(sched, b1=tc.adam_beta1, b2=tc.adam_beta2,
-                    eps=tc.adam_epsilon, weight_decay=tc.weight_decay),
+                    eps=tc.adam_epsilon, weight_decay=tc.weight_decay,
+                    mask=hf_decay_mask),
     )
     if trainable is not None:
         import jax

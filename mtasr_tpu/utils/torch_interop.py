@@ -77,10 +77,34 @@ def _fuse_weight_norm(flat: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return out
 
 
-def convert_torch_state_dict(state_dict) -> dict:
-    """Generic HF state_dict -> param tree (keeps torch weight layouts)."""
+def _keep_weight_norm(flat: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Keep torch weight_norm as separate (g, v) leaves, normalizing the new
+    parametrizations.* key layout onto `weight_g`/`weight_v` (the layout our
+    wavlm forward dispatches on). Used when training must reproduce the
+    reference's per-(g, v) Adam dynamics — Adam is not parametrization-
+    invariant, so fusing changes the pos_conv update trajectory."""
+    out: Dict[str, np.ndarray] = {}
+    for key, value in flat.items():
+        if key.endswith("parametrizations.weight.original0"):
+            base = key[: -len("parametrizations.weight.original0") - 1]
+            out[base + ".weight_g"] = value
+        elif key.endswith("parametrizations.weight.original1"):
+            base = key[: -len("parametrizations.weight.original1") - 1]
+            out[base + ".weight_v"] = value
+        else:
+            out[key] = value
+    return out
+
+
+def convert_torch_state_dict(state_dict, fuse_weight_norm: bool = True) -> dict:
+    """Generic HF state_dict -> param tree (keeps torch weight layouts).
+
+    fuse_weight_norm=False keeps weight-normed convs (the WavLM pos_conv) as
+    separate weight_g/weight_v parameters for training-dynamics parity with
+    the reference (HF trains g and v as distinct Adam slots)."""
     flat = {k: _to_numpy(v) for k, v in state_dict.items()}
-    flat = _fuse_weight_norm(flat)
+    flat = (_fuse_weight_norm(flat) if fuse_weight_norm
+            else _keep_weight_norm(flat))
     fixed: Dict[str, np.ndarray] = {}
     for key, value in flat.items():
         if key.endswith("gru_rel_pos_const"):

@@ -84,9 +84,15 @@ def test_train_step_runs_with_and_without_pcgrad():
         assert np.isfinite(float(metrics["loss"]))
         assert float(metrics["grad_norm"]) > 0
         losses[pc] = float(metrics["loss"])
-        # params actually changed
+        # HF-exact schedule: under warmup the FIRST optimizer step runs at
+        # lr == 0 (LambdaLR lambda(0) == 0/warmup) — params change from the
+        # SECOND step on
         d = jax.tree_util.tree_map(
             lambda a, b: float(jnp.max(jnp.abs(a - b))), params, p2)
+        assert max(jax.tree_util.tree_leaves(d)) == 0
+        p3, _, _ = step(p2, s2, batch, jax.random.key(1))
+        d = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), p2, p3)
         assert max(jax.tree_util.tree_leaves(d)) > 0
     # same forward loss regardless of grad surgery
     assert abs(losses[True] - losses[False]) < 1e-4
@@ -94,6 +100,10 @@ def test_train_step_runs_with_and_without_pcgrad():
 
 def test_freeze_mask_blocks_updates():
     cfg, tc, params, _, _, batch = _setup(mode="attention", pcgrad=False)
+    # HF-exact schedule runs the first optimizer step at lr == 0 under
+    # warmup — use warmup 0 so the single step below actually moves params
+    tc = TrainingConfig(pcgrad=False, learning_rate=1e-3, warmup_steps=0,
+                        max_steps=10)
     mask = trainable_mask(params, train_mode="attention",
                           freeze_decoder=True,
                           partial_decoder_unfreeze=("lm_head", "embed_tokens"))
@@ -261,7 +271,9 @@ def test_pcgrad_only_rewrites_shared_subtree():
         # huge max_grad_norm: global-norm clipping would couple the subtrees
         # (the clip scale depends on the rewritten shared grads — faithful
         # to the reference, which clips after the overwrite)
-        tc = TrainingConfig(pcgrad=pc, learning_rate=1e-3, warmup_steps=1,
+        # warmup 0: the HF-exact schedule's first step under warmup>0 is
+        # a no-op (lr == 0), which would make this single-step test vacuous
+        tc = TrainingConfig(pcgrad=pc, learning_rate=1e-3, warmup_steps=0,
                             max_steps=10, max_grad_norm=1e9)
         opt = make_optimizer(tc, mask)
         step = make_train_step(cfg, tc, opt, trainable_mask=mask,
