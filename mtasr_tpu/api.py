@@ -85,17 +85,25 @@ class Transcriber:
         prepare it for serving. quantize: none|w8|w8a8 (decoder);
         kv_quant: int8 KV cache; dp/tp: device mesh axes (-1 dp = all
         remaining devices)."""
-        from mtasr_tpu.utils.model_io import load_model
-        cfg, params = load_model(model_dir)
+        from mtasr_tpu.utils.model_io import load_model, load_model_quantized
+        if quantize != "none":
+            # streaming per-tensor load keeps peak HBM at the int8 serving
+            # footprint (8B fits one 16 GB chip); LoRA dirs fall back to
+            # load + merge + on-device quantize
+            try:
+                cfg, params = load_model_quantized(model_dir, mode=quantize,
+                                                   scope="decoder")
+            except ValueError:
+                from mtasr_tpu.train.lora import merge_decoder_lora
+                from mtasr_tpu.utils.quantize import quantize_for_serving
+                cfg, params = load_model(model_dir)
+                params = merge_decoder_lora(params)
+                params = quantize_for_serving(params, mode=quantize,
+                                              scope="decoder")
+        else:
+            cfg, params = load_model(model_dir)
         if instruct is not None:
             cfg.instruct = instruct
-        if quantize != "none":
-            from mtasr_tpu.utils.quantize import quantize_for_serving
-            if "decoder_lora" in params:
-                from mtasr_tpu.train.lora import merge_decoder_lora
-                params = merge_decoder_lora(params)
-            params = quantize_for_serving(params, mode=quantize,
-                                          scope="decoder")
         mesh = None
         import jax
         tp = max(1, tp_size)

@@ -113,21 +113,30 @@ def main(argv=None):
         print(merge_and_score(args))
         return
 
-    cfg, params = load_model(args.model_name_or_path)
-    if args.instruct:
-        cfg.instruct = True
-
-    # quantize BEFORE mesh sharding (quantization round-trips through host
-    # numpy, which would drop NamedShardings applied below)
     if args.quantize != "none":
+        # streaming load: tensor-by-tensor host read -> int8 -> device, so
+        # the bf16 decoder never materializes (8B on one 16 GB chip). LoRA
+        # checkpoints can't stream-fold — fall back to load+merge+quantize.
+        from mtasr_tpu.utils.model_io import load_model_quantized
         from mtasr_tpu.utils.quantize import quantize_for_serving
-        if "decoder_lora" in params:        # fold LoRA before quantizing
+        try:
+            cfg, params = load_model_quantized(
+                args.model_name_or_path, mode=args.quantize,
+                scope=args.quantize_scope)
+            logger.info("stream-quantized %s for serving: %s",
+                        args.quantize_scope, args.quantize)
+        except ValueError:
+            cfg, params = load_model(args.model_name_or_path)
             from mtasr_tpu.train.lora import merge_decoder_lora
             params = merge_decoder_lora(params)
-        params = quantize_for_serving(params, mode=args.quantize,
-                                      scope=args.quantize_scope)
-        logger.info("quantized %s for serving: %s", args.quantize_scope,
-                    args.quantize)
+            params = quantize_for_serving(params, mode=args.quantize,
+                                          scope=args.quantize_scope)
+            logger.info("quantized %s for serving (LoRA fold path): %s",
+                        args.quantize_scope, args.quantize)
+    else:
+        cfg, params = load_model(args.model_name_or_path)
+    if args.instruct:
+        cfg.instruct = True
 
     # device mesh (reference inference_asr_gpus.py shards at the *process*
     # level over NCCL; here one process drives a dp x tp mesh, and

@@ -137,3 +137,113 @@ def _graft(dst, src):
             tuple(src.shape) == tuple(dst.shape):
         return src
     return dst
+
+
+# ---------------------------------------------------------------------------
+# Streaming quantized load: real checkpoints -> int8 serving on one chip
+# ---------------------------------------------------------------------------
+
+_DEC_QUANT_RE = None
+
+
+def _decoder_quant_key(flat_key: str) -> bool:
+    """Flat param names whose weights the serving quantizer targets — must
+    mirror _quantize_decoder_impl + quantize_tree (utils/quantize.py): the
+    per-layer q/k/v/o + mlp projections and lm_head."""
+    global _DEC_QUANT_RE
+    if _DEC_QUANT_RE is None:
+        import re
+        _DEC_QUANT_RE = re.compile(
+            r"^decoder\.("
+            r"model\.layers\.\d+\.(self_attn\.[qkvo]_proj"
+            r"|mlp\.(gate|up|down)_proj)"
+            r"|lm_head)\.weight$")
+    return _DEC_QUANT_RE.match(flat_key) is not None
+
+
+def _quantize_host(w: np.ndarray, mode: str) -> dict:
+    """numpy mirror of quantize_linear (same f32 math: symmetric per-out-row
+    scales, round-half-even) so only INT8 crosses the host->device link —
+    the 8B load moves 8 GB instead of 16/32 GB."""
+    w = np.asarray(w, np.float32)
+    scale = np.maximum(np.abs(w).max(axis=1, keepdims=True), 127e-12) / 127.0
+    wq = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    key = "weight_q8a8" if mode == "w8a8" else "weight_q8"
+    return {key: wq, "scale": scale[:, 0]}
+
+
+def load_model_quantized(
+    path: str, mode: str = "w8a8", *,
+    scope: str = "decoder",
+    min_out_dim: int = 256,
+    dtype=jnp.bfloat16,
+    device: Optional[jax.Device] = None,
+) -> Tuple[SpeechEncoderDecoderConfig, dict]:
+    """Stream a real-format checkpoint dir (config.json + *.safetensors)
+    into an int8 serving tree WITHOUT ever materializing the bf16 decoder —
+    tensor-by-tensor: host read -> host quantize -> device put -> free.
+
+    This is the pathway the reference's model_loader.py:26-51 (
+    from_pretrained on real WavLM/LLaMA checkpoints) needs at 8B on one
+    16 GB chip: 8B bf16 (16 GB) cannot co-reside with its int8 copy, so
+    load-then-quantize OOMs; streaming keeps peak HBM ~= the final serving
+    footprint (+ one tensor). Parity with quantize_decoder_for_serving is
+    pinned in tests/test_streaming_load.py.
+
+    Non-quantized float leaves are cast to `dtype` (serving dtype) on
+    host. LoRA checkpoints must be merged first (cli tools merge-lora):
+    streaming cannot fold adapters tensor-by-tensor.
+    """
+    assert mode in ("w8", "w8a8") and scope in ("decoder", "all")
+    from safetensors import safe_open
+
+    with open(os.path.join(path, "config.json")) as f:
+        cfg = SpeechEncoderDecoderConfig.from_json(f.read())
+    cfg.validate()
+    if device is None:
+        device = jax.devices()[0]
+
+    files = sorted(f for f in os.listdir(path) if f.endswith(".safetensors"))
+    if not files:
+        raise FileNotFoundError(f"no safetensors in {path}")
+
+    flat: dict = {}
+    saw_lm_head = False
+    embed_np = None
+    for fn in files:
+        with safe_open(os.path.join(path, fn), framework="numpy") as sf:
+            for name in sf.keys():
+                if ".decoder_lora." in name or name.startswith("decoder_lora."):
+                    raise ValueError(
+                        "streaming quantized load cannot fold LoRA; merge "
+                        "first (mtasr_tpu.cli.tools merge-lora)")
+                arr = sf.get_tensor(name)
+                if _decoder_quant_key(name) and arr.ndim == 2 \
+                        and arr.shape[0] >= min_out_dim:
+                    base = name[: -len(".weight")]
+                    q = _quantize_host(arr, mode)
+                    for k, v in q.items():
+                        flat[f"{base}.{k}"] = jax.device_put(v, device)
+                    saw_lm_head |= base.endswith("lm_head")
+                    del arr, q
+                    continue
+                if name == "decoder.model.embed_tokens.weight":
+                    embed_np = np.asarray(arr, np.float32)
+                if np.issubdtype(arr.dtype, np.floating):
+                    arr = arr.astype(dtype)
+                flat[name] = jax.device_put(arr, device)
+                del arr
+    if not saw_lm_head and embed_np is not None:
+        # tied embeddings: materialize a quantized head (mirrors
+        # _quantize_decoder_impl's tied branch)
+        q = _quantize_host(embed_np, mode)
+        for k, v in q.items():
+            flat[f"decoder.lm_head.{k}"] = jax.device_put(v, device)
+        del embed_np
+    from mtasr_tpu.utils.torch_interop import flat_to_tree
+    params = flat_to_tree(flat)
+    if scope == "all":
+        # encoder is small (~300M); quantize on device, no host roundtrip
+        from mtasr_tpu.utils.quantize import quantize_encoder_for_serving
+        params = quantize_encoder_for_serving(params, mode)
+    return cfg, params
