@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -308,6 +308,69 @@ def _feed_forward(p: dict, cfg: WavLMConfig, x: jax.Array, deterministic,
     return h
 
 
+def wavlm_encoder_layer(lp: dict, cfg: WavLMConfig, hidden: jax.Array,
+                        position_bias: jax.Array,
+                        attention_mask: Optional[jax.Array],
+                        r_attn: Optional[jax.Array] = None,
+                        r_ff: Optional[jax.Array] = None,
+                        deterministic: bool = True) -> jax.Array:
+    """One transformer layer (module-level so the pipelined decode engine
+    can interleave individual layers of the NEXT batch's encode into the
+    decode loop of the current batch, generate/pipelined.py)."""
+    if cfg.do_stable_layer_norm:
+        h = layer_norm(lp["layer_norm"], hidden, cfg.layer_norm_eps)
+        h = _wavlm_attention(lp["attention"], cfg, h, position_bias,
+                             attention_mask)
+        h = dropout(h, cfg.hidden_dropout, r_attn, deterministic)
+        hidden = hidden + h
+        hidden = hidden + _feed_forward(
+            lp["feed_forward"], cfg,
+            layer_norm(lp["final_layer_norm"], hidden, cfg.layer_norm_eps),
+            deterministic, r_ff)
+    else:
+        h = _wavlm_attention(lp["attention"], cfg, hidden, position_bias,
+                             attention_mask)
+        h = dropout(h, cfg.hidden_dropout, r_attn, deterministic)
+        hidden = hidden + h
+        hidden = layer_norm(lp["layer_norm"], hidden, cfg.layer_norm_eps)
+        hidden = hidden + _feed_forward(lp["feed_forward"], cfg, hidden,
+                                        deterministic, r_ff)
+        hidden = layer_norm(lp["final_layer_norm"], hidden,
+                            cfg.layer_norm_eps)
+    return hidden
+
+
+def wavlm_encoder_prologue(p: dict, cfg: WavLMConfig, hidden: jax.Array,
+                           attention_mask: Optional[jax.Array]
+                           ) -> Tuple[jax.Array, jax.Array]:
+    """Everything before the transformer layers (inference form): input
+    masking, positional conv embedding, the non-stable-LN pre-norm, and the
+    shared relative-position bias. Returns (hidden, position_bias)."""
+    B, T, E = hidden.shape
+    if attention_mask is not None:
+        hidden = hidden * attention_mask[:, :, None].astype(hidden.dtype)
+    conv_p = p["pos_conv_embed"]["conv"]
+    if "weight_v" in conv_p:
+        v = conv_p["weight_v"].astype(jnp.float32)
+        norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True))
+        w = conv_p["weight_g"].astype(jnp.float32) * v / norm
+        conv_p = {"weight": w.astype(conv_p["weight_v"].dtype),
+                  **({"bias": conv_p["bias"]} if "bias" in conv_p else {})}
+    pos = conv1d(conv_p, hidden,
+                 padding=cfg.num_conv_pos_embeddings // 2,
+                 groups=cfg.num_conv_pos_embedding_groups)
+    if cfg.num_conv_pos_embeddings % 2 == 0:
+        pos = pos[:, :-1, :]
+    hidden = hidden + gelu(pos)
+    if not cfg.do_stable_layer_norm:
+        hidden = layer_norm(p["layer_norm"], hidden, cfg.layer_norm_eps)
+    buckets = jnp.asarray(relative_position_bucket(
+        T, T, cfg.num_buckets, cfg.max_bucket_distance))
+    table = p["layers"]["0"]["attention"]["rel_attn_embed"]["weight"]
+    position_bias = jnp.transpose(jnp.take(table, buckets, axis=0), (2, 0, 1))
+    return hidden, position_bias
+
+
 def wavlm_encoder(p: dict, cfg: WavLMConfig, hidden: jax.Array,
                   attention_mask: Optional[jax.Array],
                   deterministic: bool = True,
@@ -348,27 +411,9 @@ def wavlm_encoder(p: dict, cfg: WavLMConfig, hidden: jax.Array,
     position_bias = jnp.transpose(jnp.take(table, buckets, axis=0), (2, 0, 1))
 
     def _run_layer(lp, hidden, r_attn, r_ff):
-        if cfg.do_stable_layer_norm:
-            h = layer_norm(lp["layer_norm"], hidden, cfg.layer_norm_eps)
-            h = _wavlm_attention(lp["attention"], cfg, h, position_bias,
-                                 attention_mask)
-            h = dropout(h, cfg.hidden_dropout, r_attn, deterministic)
-            hidden = hidden + h
-            hidden = hidden + _feed_forward(
-                lp["feed_forward"], cfg,
-                layer_norm(lp["final_layer_norm"], hidden, cfg.layer_norm_eps),
-                deterministic, r_ff)
-        else:
-            h = _wavlm_attention(lp["attention"], cfg, hidden, position_bias,
-                                 attention_mask)
-            h = dropout(h, cfg.hidden_dropout, r_attn, deterministic)
-            hidden = hidden + h
-            hidden = layer_norm(lp["layer_norm"], hidden, cfg.layer_norm_eps)
-            hidden = hidden + _feed_forward(lp["feed_forward"], cfg, hidden,
-                                            deterministic, r_ff)
-            hidden = layer_norm(lp["final_layer_norm"], hidden,
-                                cfg.layer_norm_eps)
-        return hidden
+        return wavlm_encoder_layer(lp, cfg, hidden, position_bias,
+                                   attention_mask, r_attn, r_ff,
+                                   deterministic)
 
     if cfg.scan_layers and cfg.num_hidden_layers > 1:
         # layer 0 unrolled (owns rel_attn_embed); 1..N-1 scanned
