@@ -6,8 +6,19 @@ the `num_beams > 1` path TPU-natively: beams folded into the batch dim
 (B*W rows), cache rows gathered by beam parent each step, alive/finished
 bookkeeping in the standard t5x style, all inside one lax.fori_loop.
 
-Scores follow HF semantics: sum of token log-probs, final ranking by
-score / length**length_penalty (length_penalty=1.0 default).
+Scores follow HF semantics exactly (A/B'd against the reference's vendored
+`_beam_search` + installed `BeamSearchScorer` in tests/test_reference_ab.py):
+- step candidates are the top-2W of the W*V joint scores, in rank order;
+- an EOS candidate enters the finished pool ONLY if its rank < W
+  (`beam_token_rank >= group_size -> continue` in BeamSearchScorer.process);
+- finished hypotheses are normalized by the GENERATED length EXCLUDING the
+  eos token (`generated_len = cur_len - decoder_prompt_len`), while the
+  stored sequence keeps the eos (finalize re-appends it);
+- the first step draws candidates from beam 0 only (HF inits beam_scores
+  to [0, -inf, ...]); an eos at the very first position normalizes by 0
+  giving -inf for length_penalty > 0 — i.e. it never survives;
+- still-alive beams join the pool at the end normalized by the full
+  generated length.
 """
 from __future__ import annotations
 
@@ -66,53 +77,44 @@ def _beam_impl(params, cfg: SpeechEncoderDecoderConfig, enc: EncodedSpeech,
     pad_id = cfg.pad_token_id
     V = dec_cfg.vocab_size
 
-    # ---- prefill on B rows ----
-    emb = embed_tokens(params["decoder"], dec_cfg, prefill_ids,
-                       dtype=speech.dtype)
-    inputs_embeds = jnp.concatenate(
-        [emb[:, :splice_index], speech, emb[:, splice_index:]], axis=1)
-    key_valid = jnp.concatenate([
-        jnp.ones((B, splice_index), jnp.bool_),
-        enc.encoder_attention_mask,
-        jnp.ones((B, Lp - splice_index), jnp.bool_)], axis=1)
-    pos = jnp.broadcast_to(jnp.arange(total_prefill)[None, :],
-                           (B, total_prefill))
-    cache = KVCache.init(dec_cfg, B, S_max, dtype=speech.dtype)
-    cb = _adapter_callback(params, cfg, enc)
-    logits, cache = llama_forward(
-        params["decoder"], dec_cfg, inputs_embeds, pos,
-        key_valid_mask=key_valid, kv_cache=cache, cache_offset=0,
-        layer_callback=cb, logits_to_keep=1)
+    # ---- prefill on B rows (shared with the greedy engine: per-row
+    # position compaction + per-row last-valid-frame logits for padded
+    # audio — see engine._prefill) ----
+    from mtasr_tpu.generate.engine import _prefill
+    cache, last_logits, n_valid, _ = _prefill(
+        params, cfg, enc, prefill_ids, splice_index, S_max, False)
 
-    # ---- init beams from first-token top-W ----
-    logp0 = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), -1)  # [B,V]
-    init_scores, init_toks = jax.lax.top_k(logp0, W)                   # [B,W]
+    # ---- init beams: HF draws the first top-2W from beam 0 only, fills
+    # the W alive slots with non-eos candidates in rank order; an eos here
+    # would be an empty hypothesis normalized by 0 -> -inf, so it never
+    # enters the finished pool ----
+    logp0 = jax.nn.log_softmax(last_logits.astype(jnp.float32), -1)  # [B,V]
+    top0_scores, top0_toks = jax.lax.top_k(logp0, 2 * W)               # [B,2W]
+    alive_cand0 = jnp.where(top0_toks == eos_id, NEG_INF, top0_scores)
+    init_scores, idx0 = jax.lax.top_k(alive_cand0, W)                  # [B,W]
+    init_toks = jnp.take_along_axis(top0_toks, idx0, 1)
     cache = _expand_beams(cache, W)            # rows b*W + w
     # adapter memory is captured in the callback closure over enc (B rows);
     # expand it too so per-step decode sees B*W rows
     enc_bw = _expand_beams(enc, W)
     cb_bw = _adapter_callback(params, cfg, enc_bw)
+    n_valid_bw = jnp.repeat(n_valid, W, axis=0)      # [B*W]
 
     alive_seq = jnp.full((B, W, max_new_tokens), pad_id, jnp.int32)
     alive_seq = alive_seq.at[:, :, 0].set(init_toks)
     alive_scores = init_scores
-    alive_is_eos = init_toks == eos_id
-    # beams that started with EOS: move to finished
     fin_seq = jnp.full((B, W, max_new_tokens), pad_id, jnp.int32)
     fin_scores = jnp.full((B, W), NEG_INF)
     fin_lens = jnp.zeros((B, W), jnp.int32)
-    fin_seq = jnp.where(alive_is_eos[:, :, None], alive_seq, fin_seq)
-    fin_scores = jnp.where(alive_is_eos,
-                           alive_scores / (1.0 ** length_penalty), fin_scores)
-    fin_lens = jnp.where(alive_is_eos, 1, fin_lens)
-    alive_scores = jnp.where(alive_is_eos, NEG_INF, alive_scores)
 
     def body(t, state):
         alive_seq, alive_scores, fin_seq, fin_scores, fin_lens, cache = state
         cur = alive_seq[:, :, t - 1].reshape(B * W)
         emb_t = embed_tokens(params["decoder"], dec_cfg, cur[:, None],
                              dtype=speech.dtype)
-        pos_t = jnp.full((B * W, 1), total_prefill + t - 1)
+        # per-row true position: speech padding does not advance positions
+        # (engine._generate_impl body uses the same arithmetic)
+        pos_t = (Lp + n_valid_bw)[:, None] - 1 + t
         logits_t, cache = llama_forward(
             params["decoder"], dec_cfg, emb_t, pos_t,
             kv_cache=cache, cache_offset=total_prefill + t - 1,
@@ -130,9 +132,13 @@ def _beam_impl(params, cfg: SpeechEncoderDecoderConfig, enc: EncodedSpeech,
         grown = jnp.take_along_axis(alive_seq, parent[:, :, None], axis=1)
         grown = grown.at[:, :, t].set(token)
 
-        # update finished pool with EOS candidates
-        norm = top_scores / ((t + 1.0) ** length_penalty)
-        cand_fin_scores = jnp.where(is_eos, norm, NEG_INF)
+        # update finished pool with EOS candidates: only ranks < W qualify
+        # (BeamSearchScorer.process skips worse-than-top-W eos tokens), and
+        # HF normalizes by the generated length EXCLUDING the eos (= t here:
+        # positions 0..t-1 are already filled, this step writes position t)
+        norm = top_scores / (jnp.asarray(t, jnp.float32) ** length_penalty)
+        rank_ok = jnp.arange(2 * W)[None, :] < W
+        cand_fin_scores = jnp.where(is_eos & rank_ok, norm, NEG_INF)
         all_fin_scores = jnp.concatenate([fin_scores, cand_fin_scores], 1)
         all_fin_seq = jnp.concatenate([fin_seq, grown], 1)
         all_fin_lens = jnp.concatenate(

@@ -528,3 +528,88 @@ def test_train_step_trajectory_parity(tmp_path):
             bad.append((k, float(err), float(scale)))
     assert moved > 50, f"only {moved} leaves moved — trajectory degenerate?"
     assert not bad, f"{len(bad)} leaves diverged: {bad[:10]}"
+
+
+# ---------------------------------------------------------------------------
+# Beam-search A/B: our batched KV-cached beam vs the reference's vendored
+# _beam_search (generation_utils.py:3379) + installed BeamSearchScorer, on
+# grafted weights — VERDICT r3 next-round #6.
+# ---------------------------------------------------------------------------
+
+def _ref_beam_per_sample(ref_model, wav, amask, prompt=None, max_new=8,
+                         num_beams=4):
+    """Reference beam decode, one utterance at a time (the reference's
+    script shape), returning the top `num_beams` sequences + their scores."""
+    outs = []
+    prefix = 1 + (prompt.shape[1] if prompt is not None else 0)
+    for b in range(wav.shape[0]):
+        n = int(amask[b].sum())
+        kw = dict(max_length=prefix + max_new, num_beams=num_beams,
+                  num_return_sequences=num_beams, do_sample=False,
+                  synced_gpus=False, eos_token_id=EOS, pad_token_id=PAD,
+                  output_scores=True, return_dict_in_generate=True)
+        if prompt is not None:
+            kw["prompt_ids"] = torch.tensor(prompt[b:b + 1])
+        try:
+            out = ref_model.generate(inputs=torch.tensor(wav[b:b + 1, :n]),
+                                     use_cache=True, **kw)
+        except Exception:
+            out = ref_model.generate(inputs=torch.tensor(wav[b:b + 1, :n]),
+                                     use_cache=False, **kw)
+        rows = []
+        for w in range(num_beams):
+            toks = out.sequences[w, prefix:].tolist()
+            rows.append(([t for t in toks if t != PAD],
+                         float(out.sequences_scores[w])))
+        outs.append(rows)
+    return outs
+
+
+@pytest.mark.parametrize("instruct", [False, True])
+def test_beam_search_parity(instruct):
+    from mtasr_tpu.generate.beam import beam_generate
+    W, max_new = 4, 8
+    flags = {}
+    prompt = None
+    if instruct:
+        BOSP, EOSP, BOSS, EOSS, BOSR, EOSR = 58, 59, 60, 61, 62, 63
+        flags = dict(instruct=True, bosp_token_id=BOSP, eosp_token_id=EOSP,
+                     boss_token_id=BOSS, eoss_token_id=EOSS,
+                     bosr_token_id=BOSR, eosr_token_id=EOSR)
+    ref_model = _patch_for_generate(_build_reference("attention", False,
+                                                     **flags))
+    # A random-init model's logit margins (~2e-3) are below the cross-
+    # framework float error, so beam rankings there are numeric coin-flips
+    # (first-step top-10 candidates were verified identical in order and
+    # within 2e-3 in logprob). Sharpen the head so hypothesis-score margins
+    # dominate fp noise — this changes the model, not the beam semantics.
+    with torch.no_grad():
+        for name, p in ref_model.named_parameters():
+            if "lm_head" in name:
+                p.mul_(6.0)
+    cfg = _ours_cfg("attention", False, **flags)
+    params = _graft(ref_model, cfg)
+    wav, amask, _ = _batch()          # row 1 has padded (half-length) audio
+    if instruct:
+        prompt = np.tile(
+            np.array([[58, 10, 11, 59, 60, 61, 62]], np.int64),
+            (wav.shape[0], 1))
+    with torch.no_grad():
+        ref_rows = _ref_beam_per_sample(ref_model, wav, amask, prompt=prompt,
+                                        max_new=max_new, num_beams=W)
+    out = beam_generate(
+        params, cfg, jnp.asarray(wav), jnp.asarray(amask),
+        prompt_ids=jnp.asarray(prompt) if prompt is not None else None,
+        num_beams=W, max_new_tokens=max_new)
+    mine = np.asarray(out.sequences)      # [B, W, max_new]
+    my_scores = np.asarray(out.scores)    # [B, W]
+    for b in range(wav.shape[0]):
+        for w in range(W):
+            ref_toks, ref_score = ref_rows[b][w]
+            assert _trim(mine[b, w], max_new) == ref_toks, (
+                b, w, _trim(mine[b, w], max_new), ref_toks)
+            # scores are sums of up to max_new f32 logprobs of a x6-
+            # sharpened head computed in two frameworks; ~1e-2 drift is
+            # expected — the token-identity assertion above is the pin
+            assert abs(my_scores[b, w] - ref_score) < 3e-2, (
+                b, w, float(my_scores[b, w]), ref_score)
