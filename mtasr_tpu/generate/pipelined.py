@@ -8,9 +8,16 @@ core runs ONE XLA program at a time (measured: two async-dispatched
 programs take sum-of-times, overlap_probe round 4), so the only way to
 overlap them is inside one program: this engine threads the NEXT batch's
 24 WavLM transformer layers through the decode while-loop body, one layer
-every k decode steps, letting XLA's scheduler hide decode-weight DMA under
-encoder-layer MXU time (measured 34-43%% of the smaller phase hidden on
-toy shapes).
+every k decode steps.
+
+MEASURED NEGATIVE at the bench shape (DESIGN.md round 4): B=256 x 4-batch
+stream on the real chip gives 1054.6 RTFx vs 1057.1 sequential — the TPU
+core also executes ops WITHIN a program serially (no cross-op
+compute/DMA overlap for matmul operand streaming), so interleaving buys
+nothing at sizes where both phases are resource-bound. The 34-43% seen on
+toy shapes was per-program dispatch amortization, not overlap. Kept as a
+serving option (single compiled stream program, fewer dispatches — useful
+on high-latency-dispatch runtimes like the tunneled chip).
 
 Token-for-token identical to sequential `generate` (pinned by
 tests/test_pipelined.py): the interleaved decode steps are done-masked
