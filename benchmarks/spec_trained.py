@@ -130,7 +130,12 @@ def run(budget_s: float = 240.0, max_steps: int = 800,
     emitted = int(np.asarray(stats.emitted).sum())
     accepted = int(np.asarray(stats.accepted_drafts))
     spec_steps = int(np.asarray(stats.spec_steps))
-    accept_rate = accepted / max(1, spec_steps * spec_k)
+    # accepted_drafts sums accepted tokens across ALL B rows per verify
+    # step (speculative.py:192-196), so the opportunity count is
+    # spec_steps * spec_k * B (advisor round-4: without the B factor the
+    # rate is inflated B-fold and can exceed 1.0)
+    B = wav.shape[0]
+    accept_rate = accepted / max(1, spec_steps * spec_k * B)
 
     def _time(fn, iters=5):
         fn()

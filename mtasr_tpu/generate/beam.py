@@ -11,14 +11,22 @@ Scores follow HF semantics exactly (A/B'd against the reference's vendored
 - step candidates are the top-2W of the W*V joint scores, in rank order;
 - an EOS candidate enters the finished pool ONLY if its rank < W
   (`beam_token_rank >= group_size -> continue` in BeamSearchScorer.process);
-- finished hypotheses are normalized by the GENERATED length EXCLUDING the
-  eos token (`generated_len = cur_len - decoder_prompt_len`), while the
-  stored sequence keeps the eos (finalize re-appends it);
+- finished hypotheses are normalized by the GENERATED length INCLUDING the
+  eos token: process() computes `cur_len = input_ids.shape[-1] + 1` and
+  passes `generated_len = cur_len - decoder_prompt_len`, so a hypothesis
+  finishing with its (t+1)-th generated token divides by (t+1). The stored
+  sequence keeps the eos (finalize re-appends it when it fits);
 - the first step draws candidates from beam 0 only (HF inits beam_scores
-  to [0, -inf, ...]); an eos at the very first position normalizes by 0
-  giving -inf for length_penalty > 0 — i.e. it never survives;
-- still-alive beams join the pool at the end normalized by the full
-  generated length.
+  to [0, -inf, ...]); a rank<W eos at the very first position IS admitted,
+  as the empty hypothesis normalized by generated_len 1 (logp(eos)/1^lp);
+- BeamHypotheses.is_done bookkeeping (default early_stopping=False): once
+  a batch's pool holds W hypotheses and the worst pooled score >=
+  best_candidate_sum / (t+1)^lp, the batch is done — no further eos
+  hypotheses are admitted and its alive beams are skipped at finalize.
+  When every batch is done the decode loop exits early (the same break
+  `_beam_search` takes via beam_scorer.is_done);
+- still-alive beams of not-done batches join the pool at the end
+  normalized by the full generated length.
 """
 from __future__ import annotations
 
@@ -61,6 +69,117 @@ def _gather_beams(tree, parent_global):
         lambda a: jnp.take(a, parent_global, axis=0), tree)
 
 
+# ---------------------------------------------------------------------------
+# Pure beam bookkeeping — the HF-semantics math, model-free so it can be
+# A/B'd against the installed BeamSearchScorer on identical synthetic
+# logprobs (tests/test_beam_scorer_ab.py). State tuple:
+#   (alive_seq [B,W,max_new], alive_scores [B,W], fin_seq [B,W,max_new],
+#    fin_scores [B,W], fin_lens [B,W], done [B])
+# ---------------------------------------------------------------------------
+
+def beam_state_init(logp0, W, eos_id, pad_id, max_new_tokens):
+    """First process() call: candidates come from beam 0 only (HF inits
+    beam_scores to [0, -inf, ...]). A rank<W eos is admitted as the empty
+    hypothesis with generated_len 1 (score = logp(eos) / 1**lp — the lp
+    exponent on 1 is a no-op, so lp isn't needed here)."""
+    B = logp0.shape[0]
+    top0_scores, top0_toks = jax.lax.top_k(logp0, 2 * W)           # [B,2W]
+    is_eos0 = top0_toks == eos_id
+    alive_cand0 = jnp.where(is_eos0, NEG_INF, top0_scores)
+    alive_scores, idx0 = jax.lax.top_k(alive_cand0, W)             # [B,W]
+    init_toks = jnp.take_along_axis(top0_toks, idx0, 1)
+    alive_seq = jnp.full((B, W, max_new_tokens), pad_id, jnp.int32)
+    alive_seq = alive_seq.at[:, :, 0].set(init_toks)
+    # first-step eos hypotheses: the stored sequence is just [eos]
+    # (finalize re-appends the eos to the empty hypothesis), len 1
+    rank_ok0 = jnp.arange(2 * W)[None, :] < W
+    fin_cand0 = jnp.where(is_eos0 & rank_ok0, top0_scores, NEG_INF)
+    fin_scores, _ = jax.lax.top_k(fin_cand0, W)                    # [B,W]
+    has0 = fin_scores > NEG_INF / 2
+    fin_seq = jnp.full((B, W, max_new_tokens), pad_id, jnp.int32)
+    fin_seq = fin_seq.at[:, :, 0].set(
+        jnp.where(has0, eos_id, pad_id).astype(jnp.int32))
+    fin_lens = jnp.where(has0, 1, 0).astype(jnp.int32)
+    # BeamHypotheses.is_done after the first process() call (cur_len -
+    # prompt = 1): pool full AND worst pooled >= best candidate / 1**lp
+    done = (fin_scores[:, -1] > NEG_INF / 2) & (
+        fin_scores[:, -1] >= top0_scores[:, 0])
+    return (alive_seq, alive_scores, fin_seq, fin_scores, fin_lens, done)
+
+
+def beam_state_step(t, logp, state, W, eos_id, length_penalty):
+    """One process() call at loop step t (this step writes generated
+    position t; positions 0..t-1 are filled). Returns (new_state,
+    alive_parent [B,W]) — the caller gathers its KV cache by parent."""
+    alive_seq, alive_scores, fin_seq, fin_scores, fin_lens, done = state
+    B, _, V = logp.shape
+    cand = alive_scores[:, :, None] + logp                 # [B, W, V]
+    flat = cand.reshape(B, W * V)
+    top_scores, top_idx = jax.lax.top_k(flat, 2 * W)       # [B, 2W]
+    parent = top_idx // V
+    token = top_idx % V
+    is_eos = token == eos_id
+
+    # grow sequences for all 2W candidates
+    grown = jnp.take_along_axis(alive_seq, parent[:, :, None], axis=1)
+    grown = grown.at[:, :, t].set(token)
+
+    # update finished pool with EOS candidates: only ranks < W qualify
+    # (BeamSearchScorer.process skips worse-than-top-W eos tokens), and
+    # HF normalizes by the generated length INCLUDING the eos (= t+1:
+    # process() uses cur_len = input_ids.shape[-1] + 1, so a hypothesis
+    # whose eos lands at position t has generated_len t+1). Done
+    # batches admit nothing (process() short-circuits on self._done).
+    denom = jnp.asarray(t + 1, jnp.float32) ** length_penalty
+    norm = top_scores / denom
+    rank_ok = jnp.arange(2 * W)[None, :] < W
+    cand_fin_scores = jnp.where(is_eos & rank_ok & ~done[:, None],
+                                norm, NEG_INF)
+    all_fin_scores = jnp.concatenate([fin_scores, cand_fin_scores], 1)
+    all_fin_seq = jnp.concatenate([fin_seq, grown], 1)
+    all_fin_lens = jnp.concatenate(
+        [fin_lens, jnp.full((B, 2 * W), t + 1, jnp.int32)], 1)
+    best_fin, fin_idx = jax.lax.top_k(all_fin_scores, W)
+    fin_seq = jnp.take_along_axis(all_fin_seq, fin_idx[:, :, None], 1)
+    fin_scores = best_fin
+    fin_lens = jnp.take_along_axis(all_fin_lens, fin_idx, 1)
+
+    # alive = best W non-EOS candidates
+    alive_cand_scores = jnp.where(is_eos, NEG_INF, top_scores)
+    new_alive_scores, alive_idx = jax.lax.top_k(alive_cand_scores, W)
+    alive_seq = jnp.take_along_axis(grown, alive_idx[:, :, None], 1)
+    alive_parent = jnp.take_along_axis(parent, alive_idx, 1)   # [B, W]
+
+    # is_done heuristic (early_stopping=False default): pool full AND
+    # worst pooled score >= best candidate sum / (t+1)^lp — after which
+    # the batch is frozen (monotone)
+    pool_full = fin_scores[:, -1] > NEG_INF / 2
+    done = done | (pool_full & (fin_scores[:, -1] >=
+                                top_scores[:, 0] / denom))
+    return ((alive_seq, new_alive_scores, fin_seq, fin_scores, fin_lens,
+             done), alive_parent)
+
+
+def beam_state_finalize(state, W, max_new_tokens, length_penalty):
+    """finalize(): alive beams of NOT-done batches join the pool
+    normalized at full generated length (HF skips alive beams of done
+    batches), then the best W overall are returned best-first."""
+    alive_seq, alive_scores, fin_seq, fin_scores, fin_lens, done = state
+    B = alive_scores.shape[0]
+    alive_norm = jnp.where(
+        done[:, None], NEG_INF,
+        alive_scores / (float(max_new_tokens) ** length_penalty))
+    all_scores = jnp.concatenate([fin_scores, alive_norm], 1)
+    all_seq = jnp.concatenate([fin_seq, alive_seq], 1)
+    all_lens = jnp.concatenate(
+        [fin_lens, jnp.full((B, W), max_new_tokens, jnp.int32)], 1)
+    best, idx = jax.lax.top_k(all_scores, W)
+    return BeamOutput(
+        sequences=jnp.take_along_axis(all_seq, idx[:, :, None], 1),
+        scores=best,
+        lengths=jnp.take_along_axis(all_lens, idx, 1))
+
+
 @partial(jax.jit, static_argnames=("cfg", "num_beams", "max_new_tokens",
                                    "splice_index"))
 def _beam_impl(params, cfg: SpeechEncoderDecoderConfig, enc: EncodedSpeech,
@@ -84,15 +203,9 @@ def _beam_impl(params, cfg: SpeechEncoderDecoderConfig, enc: EncodedSpeech,
     cache, last_logits, n_valid, _ = _prefill(
         params, cfg, enc, prefill_ids, splice_index, S_max, False)
 
-    # ---- init beams: HF draws the first top-2W from beam 0 only, fills
-    # the W alive slots with non-eos candidates in rank order; an eos here
-    # would be an empty hypothesis normalized by 0 -> -inf, so it never
-    # enters the finished pool ----
+    # ---- init beams (pure bookkeeping in beam_state_init) ----
     logp0 = jax.nn.log_softmax(last_logits.astype(jnp.float32), -1)  # [B,V]
-    top0_scores, top0_toks = jax.lax.top_k(logp0, 2 * W)               # [B,2W]
-    alive_cand0 = jnp.where(top0_toks == eos_id, NEG_INF, top0_scores)
-    init_scores, idx0 = jax.lax.top_k(alive_cand0, W)                  # [B,W]
-    init_toks = jnp.take_along_axis(top0_toks, idx0, 1)
+    bstate = beam_state_init(logp0, W, eos_id, pad_id, max_new_tokens)
     cache = _expand_beams(cache, W)            # rows b*W + w
     # adapter memory is captured in the callback closure over enc (B rows);
     # expand it too so per-step decode sees B*W rows
@@ -100,15 +213,9 @@ def _beam_impl(params, cfg: SpeechEncoderDecoderConfig, enc: EncodedSpeech,
     cb_bw = _adapter_callback(params, cfg, enc_bw)
     n_valid_bw = jnp.repeat(n_valid, W, axis=0)      # [B*W]
 
-    alive_seq = jnp.full((B, W, max_new_tokens), pad_id, jnp.int32)
-    alive_seq = alive_seq.at[:, :, 0].set(init_toks)
-    alive_scores = init_scores
-    fin_seq = jnp.full((B, W, max_new_tokens), pad_id, jnp.int32)
-    fin_scores = jnp.full((B, W), NEG_INF)
-    fin_lens = jnp.zeros((B, W), jnp.int32)
-
-    def body(t, state):
-        alive_seq, alive_scores, fin_seq, fin_scores, fin_lens, cache = state
+    def body(state):
+        t, bstate, cache = state
+        alive_seq = bstate[0]
         cur = alive_seq[:, :, t - 1].reshape(B * W)
         emb_t = embed_tokens(params["decoder"], dec_cfg, cur[:, None],
                              dtype=speech.dtype)
@@ -121,60 +228,21 @@ def _beam_impl(params, cfg: SpeechEncoderDecoderConfig, enc: EncodedSpeech,
             layer_callback=cb_bw, logits_to_keep=1)
         logp = jax.nn.log_softmax(
             logits_t[:, -1].astype(jnp.float32), -1).reshape(B, W, V)
-        cand = alive_scores[:, :, None] + logp                 # [B, W, V]
-        flat = cand.reshape(B, W * V)
-        top_scores, top_idx = jax.lax.top_k(flat, 2 * W)       # [B, 2W]
-        parent = top_idx // V
-        token = top_idx % V
-        is_eos = token == eos_id
-
-        # grow sequences for all 2W candidates
-        grown = jnp.take_along_axis(alive_seq, parent[:, :, None], axis=1)
-        grown = grown.at[:, :, t].set(token)
-
-        # update finished pool with EOS candidates: only ranks < W qualify
-        # (BeamSearchScorer.process skips worse-than-top-W eos tokens), and
-        # HF normalizes by the generated length EXCLUDING the eos (= t here:
-        # positions 0..t-1 are already filled, this step writes position t)
-        norm = top_scores / (jnp.asarray(t, jnp.float32) ** length_penalty)
-        rank_ok = jnp.arange(2 * W)[None, :] < W
-        cand_fin_scores = jnp.where(is_eos & rank_ok, norm, NEG_INF)
-        all_fin_scores = jnp.concatenate([fin_scores, cand_fin_scores], 1)
-        all_fin_seq = jnp.concatenate([fin_seq, grown], 1)
-        all_fin_lens = jnp.concatenate(
-            [fin_lens, jnp.full((B, 2 * W), t + 1, jnp.int32)], 1)
-        best_fin, fin_idx = jax.lax.top_k(all_fin_scores, W)
-        fin_seq = jnp.take_along_axis(all_fin_seq, fin_idx[:, :, None], 1)
-        fin_scores = best_fin
-        fin_lens = jnp.take_along_axis(all_fin_lens, fin_idx, 1)
-
-        # alive = best W non-EOS candidates
-        alive_cand_scores = jnp.where(is_eos, NEG_INF, top_scores)
-        new_alive_scores, alive_idx = jax.lax.top_k(alive_cand_scores, W)
-        alive_seq = jnp.take_along_axis(grown, alive_idx[:, :, None], 1)
-        alive_parent = jnp.take_along_axis(parent, alive_idx, 1)   # [B, W]
-
+        bstate, alive_parent = beam_state_step(t, logp, bstate, W, eos_id,
+                                               length_penalty)
         parent_global = (jnp.arange(B)[:, None] * W + alive_parent).reshape(-1)
         cache = _gather_beams(cache, parent_global)
-        return (alive_seq, new_alive_scores, fin_seq, fin_scores, fin_lens,
-                cache)
+        return (t + 1, bstate, cache)
 
-    state = (alive_seq, alive_scores, fin_seq, fin_scores, fin_lens, cache)
-    alive_seq, alive_scores, fin_seq, fin_scores, fin_lens, _ = \
-        jax.lax.fori_loop(1, max_new_tokens, body, state)
+    def cond(state):
+        t, bstate, _ = state
+        done = bstate[5]
+        # _beam_search breaks once beam_scorer.is_done (all batches done)
+        return (t < max_new_tokens) & ~jnp.all(done)
 
-    # merge: if a batch has no finished beam better than an alive one, use
-    # the alive beams (normalized at full length)
-    alive_norm = alive_scores / (float(max_new_tokens) ** length_penalty)
-    all_scores = jnp.concatenate([fin_scores, alive_norm], 1)
-    all_seq = jnp.concatenate([fin_seq, alive_seq], 1)
-    all_lens = jnp.concatenate(
-        [fin_lens, jnp.full((B, W), max_new_tokens, jnp.int32)], 1)
-    best, idx = jax.lax.top_k(all_scores, W)
-    return BeamOutput(
-        sequences=jnp.take_along_axis(all_seq, idx[:, :, None], 1),
-        scores=best,
-        lengths=jnp.take_along_axis(all_lens, idx, 1))
+    state = (jnp.asarray(1, jnp.int32), bstate, cache)
+    _, bstate, _ = jax.lax.while_loop(cond, body, state)
+    return beam_state_finalize(bstate, W, max_new_tokens, length_penalty)
 
 
 def beam_generate(params, cfg: SpeechEncoderDecoderConfig,

@@ -537,7 +537,7 @@ def test_train_step_trajectory_parity(tmp_path):
 # ---------------------------------------------------------------------------
 
 def _ref_beam_per_sample(ref_model, wav, amask, prompt=None, max_new=8,
-                         num_beams=4):
+                         num_beams=4, length_penalty=1.0):
     """Reference beam decode, one utterance at a time (the reference's
     script shape), returning the top `num_beams` sequences + their scores."""
     outs = []
@@ -547,6 +547,7 @@ def _ref_beam_per_sample(ref_model, wav, amask, prompt=None, max_new=8,
         kw = dict(max_length=prefix + max_new, num_beams=num_beams,
                   num_return_sequences=num_beams, do_sample=False,
                   synced_gpus=False, eos_token_id=EOS, pad_token_id=PAD,
+                  length_penalty=length_penalty,
                   output_scores=True, return_dict_in_generate=True)
         if prompt is not None:
             kw["prompt_ids"] = torch.tensor(prompt[b:b + 1])
@@ -612,4 +613,52 @@ def test_beam_search_parity(instruct):
             # sharpened head computed in two frameworks; ~1e-2 drift is
             # expected — the token-identity assertion above is the pin
             assert abs(my_scores[b, w] - ref_score) < 3e-2, (
+                b, w, float(my_scores[b, w]), ref_score)
+
+
+def test_beam_search_parity_differing_finish_lengths():
+    """Pins the finished-pool path AT MODEL LEVEL: with the EOS row
+    boosted, the reference's beams finish MID-LOOP at differing lengths
+    and the is_done heuristic fires, so the output depends on eos
+    admission, the finished pool, and the done-freeze — regimes the plain
+    test above never enters. length_penalty=0 keeps scores un-normalized,
+    so is_done crossings move by a whole per-token logprob per step
+    (probed margins: -0.11 then +2.7) and cannot be flipped by the ~1e-2
+    cross-framework drift; at lp=1 the same construction's margins were
+    -0.008..0.0 — a numeric coin toss (the exact-semantics pin at lp!=0
+    lives in tests/test_beam_scorer_ab.py on shared synthetic logits)."""
+    from mtasr_tpu.generate.beam import beam_generate
+    W, max_new, lp = 4, 12, 0.0
+    ref_model = _patch_for_generate(_build_reference("attention", False))
+    with torch.no_grad():
+        for name, p in ref_model.named_parameters():
+            if "lm_head" in name:
+                p.mul_(6.0)
+        # make eos competitive mid-sequence so hypotheses finish early at
+        # varied lengths
+        ref_model.decoder.lm_head.weight[EOS].mul_(4.0)
+    cfg = _ours_cfg("attention", False)
+    params = _graft(ref_model, cfg)
+    wav, amask, _ = _batch()
+    with torch.no_grad():
+        ref_rows = _ref_beam_per_sample(ref_model, wav, amask,
+                                        max_new=max_new, num_beams=W,
+                                        length_penalty=lp)
+    # the regime must actually hold: finished early, at differing lengths
+    for rows in ref_rows:
+        lens = [len(toks) for toks, _ in rows]
+        assert min(lens) < max_new and len(set(lens)) > 1, lens
+    out = beam_generate(params, cfg, jnp.asarray(wav), jnp.asarray(amask),
+                        num_beams=W, max_new_tokens=max_new,
+                        length_penalty=lp)
+    mine = np.asarray(out.sequences)
+    my_scores = np.asarray(out.scores)
+    for b in range(wav.shape[0]):
+        for w in range(W):
+            ref_toks, ref_score = ref_rows[b][w]
+            assert _trim(mine[b, w], max_new) == ref_toks, (
+                b, w, _trim(mine[b, w], max_new), ref_toks)
+            # un-normalized sums of up to 12 x6-sharpened logprobs across
+            # two frameworks; token identity above is the semantic pin
+            assert abs(my_scores[b, w] - ref_score) < 2e-1, (
                 b, w, float(my_scores[b, w]), ref_score)

@@ -56,8 +56,21 @@ def test_gradient_accumulation():
     d1 = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(
         jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(p1)))
     assert d1 == 0.0
-    # second micro-step: accumulated update applies
+    # second micro-step: the FIRST applied update fires — but under the
+    # HF-exact LambdaLR indexing (optimizer.py:30-41, pinned by the trainer
+    # A/B) optimizer step 0 runs at lr == lambda(0) == 0 with warmup_steps=1,
+    # so the param delta is exactly zero even though the update applied.
     p2, s2, _ = step(p1, s1, batch, jax.random.key(1))
     d2 = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(
         jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)))
-    assert d2 > 0.0
+    assert d2 == 0.0
+    # third+fourth micro-steps: the SECOND applied update runs at the
+    # post-warmup lr and must move params.
+    p3, s3, _ = step(p2, s2, batch, jax.random.key(2))
+    d3 = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(
+        jax.tree_util.tree_leaves(p2), jax.tree_util.tree_leaves(p3)))
+    assert d3 == 0.0  # micro-step: deferred
+    p4, s4, _ = step(p3, s3, batch, jax.random.key(3))
+    d4 = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(
+        jax.tree_util.tree_leaves(p3), jax.tree_util.tree_leaves(p4)))
+    assert d4 > 0.0
