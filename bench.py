@@ -23,18 +23,33 @@ import time
 import numpy as np
 
 T_START = time.perf_counter()
-# internal wall budget; the driver's external timeout is unknown but a
-# timeout mid-extras is survivable (the headline line is already flushed),
-# so this only controls how greedy the extra phases are.
+# Internal wall budget for the EXTRA phases, counted from the moment the
+# headline phase finishes (armed in main() via _start_extras_clock), NOT
+# from process start: round 4 charged a cold-cache headline compile
+# (~1,766 s) against this clock and silently skipped every extra
+# (VERDICT r4 missing #1). The driver's external timeout is unknown but a
+# timeout mid-extras is survivable — the headline line is already flushed
+# and each completed extra re-prints the full line.
 BUDGET_S = float(os.environ.get("MTASR_BENCH_BUDGET_S", "900"))
+_EXTRAS_T0 = None
+
+
+def _start_extras_clock() -> None:
+    global _EXTRAS_T0
+    _EXTRAS_T0 = time.perf_counter()
 
 
 def _remaining() -> float:
-    return BUDGET_S - (time.perf_counter() - T_START)
+    t0 = _EXTRAS_T0 if _EXTRAS_T0 is not None else T_START
+    return BUDGET_S - (time.perf_counter() - t0)
 
 
 def _emit(rtfx: float, extras: dict) -> None:
     baseline = 50.0  # >50x real-time target per chip (BASELINE.md)
+    # timing diagnostics in every line so a skipped/slow phase is
+    # attributable from the artifact alone (VERDICT r4 weak #2)
+    extras = dict(extras, elapsed_s=round(time.perf_counter() - T_START, 1),
+                  extras_budget_left_s=round(_remaining(), 1))
     print(json.dumps({
         "metric": "batched_greedy_decode_rtfx",
         "value": round(rtfx, 2),
@@ -64,13 +79,15 @@ def _decode_rtfx(jax, jnp, cfg, params, B, secs, max_new, kv_quant=False,
         # completes, silently inflating throughput; a value fetch cannot
         np.asarray(out.sequences)
 
+    t_c = time.perf_counter()
     run()  # compile
+    compile_s = time.perf_counter() - t_c
     n_iters = 3
     t0 = time.perf_counter()
     for _ in range(n_iters):
         run()
     dt = (time.perf_counter() - t0) / n_iters
-    return B * secs / dt
+    return B * secs / dt, compile_s
 
 
 def _train_throughput(jax, jnp, cfg, params, B, secs):
@@ -198,9 +215,14 @@ def main():
     params = init_jit(jax.random.key(0), cfg)
     jax.block_until_ready(params)
 
-    rtfx = _decode_rtfx(jax, jnp, cfg, params, B, secs, max_new,
-                        encode_chunk=enc_chunk)
-    extras = {"max_new_tokens": max_new, "batch": B, "audio_secs": secs}
+    rtfx, compile_s = _decode_rtfx(jax, jnp, cfg, params, B, secs, max_new,
+                                   encode_chunk=enc_chunk)
+    extras = {"max_new_tokens": max_new, "batch": B, "audio_secs": secs,
+              "headline_compile_s": round(compile_s, 1)}
+    # arm the extras clock NOW: headline compile time (cold cache: many
+    # minutes through the remote-compile tunnel) must not eat the budget
+    # the extras run on (VERDICT r4 missing #1)
+    _start_extras_clock()
     _emit(rtfx, extras)   # HEADLINE OUT — everything below is time-boxed
 
     # (pipelined encode-under-decode was measured and REMOVED as a bench
@@ -218,9 +240,12 @@ def main():
     # acceptance + small-batch decode speedup (benchmarks/spec_trained.py)
     if on_tpu and _remaining() > 300:
         try:
+            t_p = time.perf_counter()
             from benchmarks.spec_trained import run as spec_trained_run
             extras.update(spec_trained_run(
                 budget_s=min(240.0, _remaining() - 60)))
+            extras["spec_trained_phase_s"] = round(
+                time.perf_counter() - t_p, 1)
         except Exception as e:
             extras["spec_trained_error"] = str(e)[:200]
         _emit(rtfx, extras)
@@ -229,11 +254,38 @@ def main():
             f"remaining budget {_remaining():.0f}s < 300s")
         _emit(rtfx, extras)
 
-    # -- extra 1: flagship train-step throughput (hybrid+PCGrad+LoRA) -------
+    # -- extra 1: int8 serving path (w8a8 weights + int8 KV cache) ----------
+    qparams = None
+    if _remaining() > 150:
+        try:
+            t_p = time.perf_counter()
+            from mtasr_tpu.utils.quantize import quantize_decoder_for_serving
+            qparams = quantize_decoder_for_serving(params, mode="w8a8")
+            # free the bf16 decoder (3.2 GB): qparams shares the encoder
+            # subtree and nothing below reads the bf16 weights again
+            params["decoder"] = None
+            params = qparams
+            r_int8, c_int8 = _decode_rtfx(
+                jax, jnp, cfg, qparams, int8_B, secs, max_new,
+                kv_quant=True)
+            extras["rtfx_int8"] = round(r_int8, 2)
+            extras["int8_batch"] = int8_B
+            extras["int8_phase_s"] = round(time.perf_counter() - t_p, 1)
+            extras["int8_compile_s"] = round(c_int8, 1)
+        except Exception as e:
+            extras["int8_bench_error"] = str(e)[:200]
+        _emit(rtfx, extras)
+    else:
+        extras["int8_bench_skipped"] = (
+            f"remaining budget {_remaining():.0f}s < 150s")
+        _emit(rtfx, extras)
+
+    # -- extra 2: flagship train-step throughput (hybrid+PCGrad+LoRA) -------
     # remote compile of this step measured at ~98 s (scan) in round 1;
     # budget ~compile + 3 timed steps
     if _remaining() > 220:
         try:
+            t_p = time.perf_counter()
             tcfg = SpeechEncoderDecoderConfig(
                 encoder=enc, decoder=dec, train_mode="hybrid",
                 talker_ctc=True, talker_numbers=2,
@@ -250,6 +302,8 @@ def main():
             extras["train_samples_per_s"] = round(
                 _train_throughput(jax, jnp, tcfg, tparams, train_B,
                                   secs if on_tpu else 2), 2)
+            extras["train_phase_s"] = round(time.perf_counter() - t_p, 1)
+            tparams = None
         except Exception as e:  # keep the headline metric robust
             extras["train_bench_error"] = str(e)[:200]
         _emit(rtfx, extras)
@@ -258,66 +312,21 @@ def main():
             f"remaining budget {_remaining():.0f}s < 220s")
         _emit(rtfx, extras)
 
-    # -- extra 2: int8 serving path (w8a8 weights + int8 KV cache) ----------
-    qparams = None
-    if _remaining() > 150:
-        try:
-            from mtasr_tpu.utils.quantize import quantize_decoder_for_serving
-            qparams = quantize_decoder_for_serving(params, mode="w8a8")
-            # free the bf16 decoder (3.2 GB): qparams shares the encoder
-            # subtree and nothing below reads the bf16 weights again
-            params["decoder"] = None
-            params = qparams
-            extras["rtfx_int8"] = round(_decode_rtfx(
-                jax, jnp, cfg, qparams, int8_B, secs, max_new,
-                kv_quant=True), 2)
-            extras["int8_batch"] = int8_B
-        except Exception as e:
-            extras["int8_bench_error"] = str(e)[:200]
-        _emit(rtfx, extras)
-    else:
-        extras["int8_bench_skipped"] = (
-            f"remaining budget {_remaining():.0f}s < 150s")
-        _emit(rtfx, extras)
-
     # -- extra 3: 8B-scale int8 serving on ONE chip -------------------------
-    # LLaMA-3.1-8B cannot fit bf16 on a 16 GB v5e (16 GB weights alone),
-    # but the w8a8 + int8-KV serving path can: ~7.5 GB int8 matmul
-    # weights + 1 GB bf16 embed + int8 KV cache. The decoder is
-    # random-initialized DIRECTLY in int8 (init_quantized_llama_params)
-    # because the bf16-then-quantize path cannot co-reside on chip.
+    # LLaMA-3.1-8B cannot fit bf16 on a 16 GB v5e (16 GB weights alone);
+    # the w8a8 + int8-KV serving path can. Routed through the USER pathway
+    # (VERDICT r4 #4): a real-format 16 GB checkpoint dir on disk,
+    # streamed into int8 via load_model_quantized with a peak-HBM
+    # assertion (benchmarks/stream_8b.py; checkpoint is created once and
+    # reused across runs).
     if on_tpu and _remaining() > 420:
         try:
-            from mtasr_tpu.config import llama_8b_config
-            from mtasr_tpu.utils.quantize import init_quantized_llama_params
-            params = None  # free the 1B trees before the 8 GB decoder
+            t_p = time.perf_counter()
+            params = None  # free the 1B trees before the 8B decoder
             qparams = None
-            dec8 = llama_8b_config(vocab_size=128264)
-            cfg8 = SpeechEncoderDecoderConfig(
-                encoder=enc, decoder=dec8, train_mode="attention",
-                talker_ctc=False)
-            # init ONLY the non-decoder parts in bf16 (a full composite
-            # init would materialize the 16 GB bf16 8B decoder)
-            from mtasr_tpu.models.layers import linear_init
-            from mtasr_tpu.models.wavlm import init_wavlm_params
-
-            def _init8_nondecoder(k):
-                ks = jax.random.split(k, 2)
-                return tree_cast({
-                    "encoder": init_wavlm_params(ks[0], enc),
-                    "enc_to_dec_proj": linear_init(
-                        ks[1], enc.out_hidden, dec8.hidden_size),
-                }, jnp.bfloat16)
-
-            p8 = dict(jax.jit(_init8_nondecoder)(jax.random.key(2)))
-            q8_jit = jax.jit(init_quantized_llama_params,
-                             static_argnames=("cfg", "mode"))
-            p8["decoder"] = q8_jit(jax.random.key(3), cfg=dec8)
-            jax.block_until_ready(p8)
-            extras["rtfx_8b_int8"] = round(_decode_rtfx(
-                jax, jnp, cfg8, p8, 64, secs, max_new, kv_quant=True), 2)
-            extras["8b_batch"] = 64
-            p8 = None
+            from benchmarks.stream_8b import run as stream_8b_run
+            extras.update(stream_8b_run(B=64, secs=secs, max_new=max_new))
+            extras["8b_phase_s"] = round(time.perf_counter() - t_p, 1)
         except Exception as e:
             extras["8b_bench_error"] = str(e)[:200]
         _emit(rtfx, extras)

@@ -1,0 +1,184 @@
+"""8B-geometry streaming-load proof: real-format checkpoint dir on disk ->
+`load_model_quantized` -> int8 serving on ONE 16 GB chip, with a peak-HBM
+assertion (VERDICT r4 next-round #4).
+
+The reference serves real checkpoints through from_pretrained
+(/root/reference/src/model_loader.py:26-51). At 8B geometry the bf16
+decoder alone is ~16 GB, so load-then-quantize cannot co-reside with its
+int8 copy on a v5e; model_io.load_model_quantized streams tensor-by-tensor
+(host read -> host quantize -> device put -> free) keeping peak HBM at
+roughly the final serving footprint. Small-geometry parity with
+quantize_decoder_for_serving is pinned in tests/test_streaming_load.py;
+THIS module proves the pathway at the geometry that motivates it and
+records it driver-visibly (bench.py extra routes through here).
+
+The checkpoint dir (~16 GB, random weights at exact LLaMA-3.1-8B geometry,
+WavLM-Large encoder) is written ONCE to `.ckpt_8b/` (gitignored) and
+reused across bench runs — creation is host-side numpy, ~2-4 min.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+CKPT_DIR = os.path.join(_REPO, ".ckpt_8b")
+_MARKER = "_COMPLETE"
+_SHARD_BYTES = 1 << 30          # ~1 GB per safetensors shard
+
+
+def _decoder_tensor_specs(dec):
+    """Flat names + shapes of the full LLaMA decoder tree, matching
+    tree_to_flat(init_llama_params(...)) (models/llama.py:117)."""
+    H, ii = dec.hidden_size, dec.intermediate_size
+    qh = dec.num_attention_heads * dec.head_dim
+    kvh = dec.num_key_value_heads * dec.head_dim
+    yield "decoder.model.embed_tokens.weight", (dec.vocab_size, H)
+    for i in range(dec.num_hidden_layers):
+        p = f"decoder.model.layers.{i}."
+        yield p + "self_attn.q_proj.weight", (qh, H)
+        yield p + "self_attn.k_proj.weight", (kvh, H)
+        yield p + "self_attn.v_proj.weight", (kvh, H)
+        yield p + "self_attn.o_proj.weight", (H, qh)
+        yield p + "mlp.gate_proj.weight", (ii, H)
+        yield p + "mlp.up_proj.weight", (ii, H)
+        yield p + "mlp.down_proj.weight", (H, ii)
+        yield p + "input_layernorm.weight", (H,)
+        yield p + "post_attention_layernorm.weight", (H,)
+    yield "decoder.model.norm.weight", (H,)
+    yield "decoder.lm_head.weight", (dec.vocab_size, H)
+
+
+def _composite_cfg():
+    from mtasr_tpu.config import (
+        SpeechEncoderDecoderConfig, llama_8b_config, wavlm_large_config,
+    )
+    enc = wavlm_large_config(mask_time_prob=0.0, hidden_dropout=0.0,
+                             attention_dropout=0.0, activation_dropout=0.0,
+                             attention_impl="flash")
+    dec = llama_8b_config(vocab_size=128264)
+    return SpeechEncoderDecoderConfig(
+        encoder=enc, decoder=dec, train_mode="attention", talker_ctc=False)
+
+
+def ensure_checkpoint(path: str = CKPT_DIR, progress=None) -> str:
+    """Write the 8B-geometry checkpoint dir if absent (idempotent via a
+    completion marker). Host-RAM-safe: one tensor at a time, sharded
+    safetensors files of ~1 GB."""
+    import ml_dtypes
+    from safetensors.numpy import save_file
+
+    if os.path.exists(os.path.join(path, _MARKER)):
+        return path
+    os.makedirs(path, exist_ok=True)
+    cfg = _composite_cfg()
+    with open(os.path.join(path, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    # non-decoder parts (encoder ~315M + proj) via the real initializer on
+    # the CPU backend — small enough to materialize, and it guarantees the
+    # tree matches init_model_params exactly
+    import jax
+
+    from mtasr_tpu.models.layers import linear_init
+    from mtasr_tpu.models.wavlm import init_wavlm_params
+    from mtasr_tpu.utils.torch_interop import tree_to_flat
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        ks = jax.random.split(jax.random.key(0), 2)
+        nondec = {
+            "encoder": init_wavlm_params(ks[0], cfg.encoder),
+            "enc_to_dec_proj": linear_init(
+                ks[1], cfg.encoder.out_hidden, cfg.decoder.hidden_size),
+        }
+    shard = {k: np.asarray(v, np.float32).astype(ml_dtypes.bfloat16)
+             for k, v in tree_to_flat(nondec).items()}
+    del nondec
+
+    rng = np.random.default_rng(8)
+    n_shard, shard_bytes, t0 = 0, sum(a.nbytes for a in shard.values()), \
+        time.perf_counter()
+
+    def _flush():
+        nonlocal n_shard, shard, shard_bytes
+        if not shard:
+            return
+        save_file(shard, os.path.join(path, f"model-{n_shard:05d}.safetensors"),
+                  metadata={"format": "pt"})
+        n_shard += 1
+        shard, shard_bytes = {}, 0
+
+    for name, shape in _decoder_tensor_specs(cfg.decoder):
+        arr = (rng.standard_normal(shape, dtype=np.float32) * 0.02
+               ).astype(ml_dtypes.bfloat16) if len(shape) > 1 else \
+            np.ones(shape, ml_dtypes.bfloat16)
+        shard[name] = arr
+        shard_bytes += arr.nbytes
+        if shard_bytes >= _SHARD_BYTES:
+            _flush()
+            if progress:
+                progress(f"{name} ({n_shard} shards, "
+                         f"{time.perf_counter() - t0:.0f}s)")
+    _flush()
+    with open(os.path.join(path, _MARKER), "w") as f:
+        f.write("ok\n")
+    return path
+
+
+def run(B: int = 64, secs: int = 10, max_new: int = 150,
+        hbm_limit_gb: float = 16.0, path: str = CKPT_DIR) -> dict:
+    """Stream-load the 8B checkpoint into w8a8 + serve it: the user
+    pathway `inference_asr --quantize w8a8` takes (cli/inference_asr.py).
+    Returns bench extras incl. load time and peak-HBM; raises if peak HBM
+    exceeds the chip budget (the assertion the pathway exists to satisfy).
+    """
+    import jax
+
+    from mtasr_tpu.utils.model_io import load_model_quantized
+    from mtasr_tpu.utils.profiling import device_memory_stats
+
+    ensure_checkpoint(path)
+    dev = jax.devices()[0]
+    t0 = time.perf_counter()
+    cfg, params = load_model_quantized(path, mode="w8a8", device=dev)
+    jax.block_until_ready(params)
+    load_s = time.perf_counter() - t0
+    stats = device_memory_stats(dev)
+    peak_after_load = stats.get("peak_bytes_in_use", 0)
+
+    from bench import _decode_rtfx
+    import jax.numpy as jnp
+    rtfx, compile_s = _decode_rtfx(jax, jnp, cfg, params, B, secs, max_new,
+                                   kv_quant=True)
+    stats = device_memory_stats(dev)
+    peak = stats.get("peak_bytes_in_use", peak_after_load)
+    out = {
+        "rtfx_8b_int8": round(rtfx, 2),
+        "8b_batch": B,
+        "8b_compile_s": round(compile_s, 1),
+        "8b_stream_load_s": round(load_s, 1),
+        "8b_stream_peak_hbm_gb": round(peak / 2**30, 2),
+        "8b_stream_peak_after_load_gb": round(peak_after_load / 2**30, 2),
+    }
+    if peak and peak > hbm_limit_gb * 2**30:
+        raise AssertionError(
+            f"8B streaming-load peak HBM {peak / 2**30:.2f} GiB exceeds "
+            f"{hbm_limit_gb} GiB: {out}")
+    return out
+
+
+if __name__ == "__main__":
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    if len(sys.argv) > 1 and sys.argv[1] == "create":
+        ensure_checkpoint(progress=lambda m: print(m, flush=True))
+        print("checkpoint ready at", CKPT_DIR)
+    else:
+        print(run())

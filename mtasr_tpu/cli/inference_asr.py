@@ -68,6 +68,16 @@ def build_argparser():
                         "talker_ctc)")
     p.add_argument("--spec_k", type=int, default=4,
                    help="draft tokens verified per speculative step")
+    p.add_argument("--pipelined", action="store_true",
+                   help="decode same-shape batch runs through the fused "
+                        "stream engine (generate/pipelined.py): encode of "
+                        "batch i+1 is compiled into the decode loop of "
+                        "batch i, so a whole run executes as one program "
+                        "per batch with no per-step dispatch. Token-"
+                        "identical to sequential decode; measured NEUTRAL "
+                        "on throughput at production batch sizes on a "
+                        "local chip (DESIGN.md round 4) — its value is "
+                        "fewer dispatches on high-latency runtimes")
     p.add_argument("--quantize_scope", type=str, default="decoder",
                    choices=["decoder", "all"],
                    help="'decoder' quantizes the weight-bound decode loop; "
@@ -193,11 +203,46 @@ def main(argv=None):
                            speculative=args.speculative,
                            spec_k=args.spec_k)
 
+    if args.pipelined and (args.ctc_decoding or args.num_beams > 1
+                           or args.speculative):
+        raise SystemExit("--pipelined applies to plain (greedy/sampled) "
+                         "decoding only")
+
     label_f = open(os.path.join(args.output_dir,
                                 f"label.{args.shard_index}"), "w")
     decod_f = open(os.path.join(args.output_dir,
                                 f"decod.{args.shard_index}"), "w")
     n_done = 0
+
+    def emit_batch(batch, seqs):
+        nonlocal n_done
+        for i, utt_id in enumerate(batch.utt_ids):
+            # reference scoring keeps <sc> as a token in BOTH streams
+            # (inference_asr.py:158-165, 202-209)
+            from mtasr_tpu.utils.wer import clean_decoded_text
+            hyp = clean_decoded_text(
+                tokenizer.decode(seqs[i], skip_special_tokens=False))
+            ref = clean_decoded_text(refs[utt_id])
+            label_f.write(f"{utt_id} {ref}\n")
+            decod_f.write(f"{utt_id} {hyp}\n")
+        n_done += len(batch.utt_ids)
+        logger.info("decoded %d utts", n_done)
+
+    # --pipelined: buffer consecutive same-shape batches and decode each
+    # run through the fused stream engine (one compiled program per batch,
+    # encode(i+1) under decode(i)); shape changes flush the run
+    pipeline_run = []   # [(batch, feed_dict)]
+
+    def flush_pipeline():
+        if not pipeline_run:
+            return
+        from mtasr_tpu.generate.pipelined import generate_pipelined
+        outs = generate_pipelined(params, cfg,
+                                  [d for _, d in pipeline_run], gen=gen)
+        for (b, _), out in zip(pipeline_run, outs):
+            emit_batch(b, np.asarray(out.sequences))
+        pipeline_run.clear()
+
     for batch in batches_from_examples(
             examples, cfg, dc, args.batch_size, training=False,
             shuffle=False, drop_last=False,
@@ -211,7 +256,7 @@ def main(argv=None):
         if args.ctc_decoding:
             trans, _ = generate_ctc(params, cfg, wav, amask,
                                     max_out_len=args.max_length)
-            seqs = np.asarray(trans)
+            emit_batch(batch, np.asarray(trans))
         elif args.num_beams > 1:
             from mtasr_tpu.generate.beam import beam_generate
             prompt = (jnp.asarray(batch.arrays["prompt_ids"])
@@ -219,23 +264,23 @@ def main(argv=None):
             out = beam_generate(params, cfg, wav, amask, prompt_ids=prompt,
                                 num_beams=args.num_beams,
                                 max_new_tokens=args.max_length)
-            seqs = np.asarray(out.sequences)[:, 0]   # best beam
+            emit_batch(batch, np.asarray(out.sequences)[:, 0])  # best beam
+        elif args.pipelined:
+            feed = {"input_values": wav, "audio_mask": amask}
+            if "prompt_ids" in batch.arrays:
+                feed["prompt_ids"] = jnp.asarray(batch.arrays["prompt_ids"])
+            if pipeline_run and (
+                    pipeline_run[-1][1].keys() != feed.keys()
+                    or any(pipeline_run[-1][1][k].shape != feed[k].shape
+                           for k in feed)):
+                flush_pipeline()
+            pipeline_run.append((batch, feed))
         else:
             prompt = (jnp.asarray(batch.arrays["prompt_ids"])
                       if "prompt_ids" in batch.arrays else None)
             out = generate(params, cfg, wav, amask, prompt_ids=prompt, gen=gen)
-            seqs = np.asarray(out.sequences)
-        for i, utt_id in enumerate(batch.utt_ids):
-            # reference scoring keeps <sc> as a token in BOTH streams
-            # (inference_asr.py:158-165, 202-209)
-            from mtasr_tpu.utils.wer import clean_decoded_text
-            hyp = clean_decoded_text(
-                tokenizer.decode(seqs[i], skip_special_tokens=False))
-            ref = clean_decoded_text(refs[utt_id])
-            label_f.write(f"{utt_id} {ref}\n")
-            decod_f.write(f"{utt_id} {hyp}\n")
-        n_done += len(batch.utt_ids)
-        logger.info("decoded %d utts", n_done)
+            emit_batch(batch, np.asarray(out.sequences))
+    flush_pipeline()
     label_f.close()
     decod_f.close()
 

@@ -46,6 +46,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64)]
+        lib.wer_align_ops.restype = ctypes.c_int64
+        lib.wer_align_ops.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint8)]
         lib.wer_align_batch.restype = None
         lib.cpwer_best_perm.restype = None
         _lib = lib
@@ -157,6 +163,27 @@ def wer_align_native(lab_ids: Sequence[int],
         rec.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(rec),
         counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return tuple(int(x) for x in counts)
+
+
+def wer_align_ops_native(
+        lab_ids: Sequence[int], rec_ids: Sequence[int]
+) -> Optional[Tuple[Tuple[int, ...], np.ndarray]]:
+    """Counts + traceback ops (left-to-right, 1=cor 2=sub 3=del 4=ins) for
+    rebuilding the reference's verbose alignment dumps natively. None if
+    the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    lab = _as_i32(lab_ids)
+    rec = _as_i32(rec_ids)
+    counts = np.zeros(5, np.int64)
+    ops = np.zeros(len(lab) + len(rec), np.uint8)
+    n_ops = lib.wer_align_ops(
+        lab.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(lab),
+        rec.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(rec),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ops.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return tuple(int(x) for x in counts), ops[:int(n_ops)]
 
 
 def _pack(seqs: Sequence[Sequence[int]]):

@@ -213,7 +213,32 @@ class Calculator:
                   need_alignment: bool = False) -> EditStats:
         lab, rec = self._prep(lab_text), self._prep(rec_text)
         stats = None
-        if self.use_native and not need_alignment:
+        if self.use_native and need_alignment:
+            # native DP + traceback ops; alignment strings rebuilt host-side
+            # so the DEFAULT verbose scoring path (compute-wer --v=1,
+            # run.sh:316-319) runs the C++ kernel too
+            from mtasr_tpu.utils.native import wer_align_ops_native
+            res = wer_align_ops_native(self._ids(lab), self._ids(rec))
+            if res is not None:
+                counts, ops = res
+                stats = EditStats(all=counts[0], cor=counts[1],
+                                  sub=counts[2], dele=counts[3],
+                                  ins=counts[4])
+                i = j = 0
+                for op in ops:
+                    if op in (1, 2):      # cor / sub
+                        stats.lab_align.append(lab[i])
+                        stats.rec_align.append(rec[j])
+                        i, j = i + 1, j + 1
+                    elif op == 3:         # del
+                        stats.lab_align.append(lab[i])
+                        stats.rec_align.append("")
+                        i += 1
+                    else:                 # ins
+                        stats.lab_align.append("")
+                        stats.rec_align.append(rec[j])
+                        j += 1
+        elif self.use_native:
             from mtasr_tpu.utils.native import wer_align_native
             counts = wer_align_native(self._ids(lab), self._ids(rec))
             if counts is not None:

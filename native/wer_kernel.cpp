@@ -19,9 +19,13 @@
 
 extern "C" {
 
-// counts: [all, cor, sub, del, ins]
-int64_t wer_align(const int32_t* lab, int64_t n, const int32_t* rec,
-                  int64_t m, int64_t* counts) {
+// counts: [all, cor, sub, del, ins]; ops_out (optional, capacity >= n+m):
+// traceback op codes in LEFT-TO-RIGHT order (1=cor 2=sub 3=del 4=ins) so
+// callers can rebuild the reference's verbose alignment dumps
+// (compute-wer.py Calculator.calculate 'lab'/'rec' rows) natively.
+// Returns the number of ops written (or the op count if ops_out is null).
+int64_t wer_align_ops(const int32_t* lab, int64_t n, const int32_t* rec,
+                      int64_t m, int64_t* counts, uint8_t* ops_out) {
   // dist[i][j]: edit distance between lab[:i] and rec[:j]
   // err codes: 0=non 1=cor 2=sub 3=del 4=ins
   std::vector<int32_t> dist((n + 1) * (m + 1));
@@ -52,20 +56,31 @@ int64_t wer_align(const int32_t* lab, int64_t n, const int32_t* rec,
     }
   }
 
-  int64_t all = 0, cor = 0, sub = 0, del = 0, ins = 0;
+  int64_t all = 0, cor = 0, sub = 0, del = 0, ins = 0, n_ops = 0;
   int64_t i = n, j = m;
   while (i != 0 || j != 0) {
-    switch (err[at(i, j)]) {
+    const uint8_t e = err[at(i, j)];
+    switch (e) {
       case 1: ++all; ++cor; --i; --j; break;
       case 2: ++all; ++sub; --i; --j; break;
       case 3: ++all; ++del; --i; break;
       case 4: ++ins; --j; break;
-      default: i = 0; j = 0; break;
+      default: i = 0; j = 0; continue;
     }
+    if (ops_out) ops_out[n_ops] = e;
+    ++n_ops;
   }
+  if (ops_out) std::reverse(ops_out, ops_out + n_ops);
   counts[0] = all; counts[1] = cor; counts[2] = sub;
   counts[3] = del; counts[4] = ins;
-  return dist[at(n, m)];
+  return ops_out ? n_ops : dist[at(n, m)];
+}
+
+int64_t wer_align(const int32_t* lab, int64_t n, const int32_t* rec,
+                  int64_t m, int64_t* counts) {
+  // counts-only wrapper; returns the edit distance (= S + D + I)
+  wer_align_ops(lab, n, rec, m, counts, nullptr);
+  return counts[2] + counts[3] + counts[4];
 }
 
 // Batched: pairs packed into flat arrays with offset tables.

@@ -83,6 +83,19 @@ def test_cli_pipeline(mini_dataset, tmp_path):
     report = open(os.path.join(dec_dir, "wer")).read()
     assert "Overall ->" in report
 
+    # --pipelined: fused stream engine through the same CLI; must be
+    # token-identical to the plain decode above
+    dec5 = str(tmp_path / "decode_pipelined")
+    infer_main([
+        "--model_name_or_path", final_dir,
+        "--data_dir", os.path.join(mini_dataset, "train"),
+        "--output_dir", dec5, "--batch_size", "2", "--pipelined",
+        "--max_duration_in_seconds", "2.0", "--max_length", "12",
+        "--dp_size", "1",
+    ])
+    assert (open(os.path.join(dec5, "decod")).read()
+            == open(os.path.join(dec_dir, "decod")).read())
+
     # CTC decoding path through the same CLI
     dec2 = str(tmp_path / "decode_ctc")
     infer_main([

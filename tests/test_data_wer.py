@@ -150,6 +150,86 @@ def test_wer_matches_reference_scorer(tmp_path, char_mode):
         (float(m.group(1)), *(int(m.group(i)) for i in range(2, 7))), out
 
 
+def _parse_ref_verbose_alignment(out):
+    """Parse the reference scorer's --v=1 column-aligned lab/rec dumps into
+    per-utt (lab_tokens, rec_tokens) with '' for empty slots. Column
+    separators are the positions where BOTH lines have a space (each
+    column is padded to max(len(lab), len(rec)), so inside a column at
+    least one line is non-space at every index)."""
+    aligns = {}
+    lines = out.splitlines()
+    for i, line in enumerate(lines):
+        if not line.startswith("utt: "):
+            continue
+        utt = line[5:].strip()
+        lab = rec = None
+        for j in range(i + 1, min(i + 6, len(lines))):
+            if lines[j].startswith("lab: "):
+                lab = lines[j][5:]
+            elif lines[j].startswith("rec: "):
+                rec = lines[j][5:]
+        assert lab is not None and rec is not None, out
+        width = max(len(lab), len(rec))
+        lab, rec = lab.ljust(width), rec.ljust(width)
+        lab_toks, rec_toks, li, ri = [], [], [], []
+        for k in range(width + 1):
+            sep = k == width or (lab[k] == " " and rec[k] == " ")
+            if sep:
+                if li or ri:
+                    lab_toks.append("".join(li).strip())
+                    rec_toks.append("".join(ri).strip())
+                    li, ri = [], []
+            else:
+                li.append(lab[k])
+                ri.append(rec[k])
+        aligns[utt] = (lab_toks, rec_toks)
+    return aligns
+
+
+@pytest.mark.parametrize("char_mode", [False, True])
+def test_verbose_alignment_matches_reference_scorer(tmp_path, char_mode):
+    """compute-wer --v=1 golden A/B: the native-kernel alignment dumps must
+    token-match the reference scorer's verbose output (VERDICT r4 #7;
+    reference anchor utils/compute-wer.py:436-553, invoked with --v=1 at
+    run.sh:316-319)."""
+    rng = np.random.default_rng(7)
+    words = ["the", "cat", "sat", "on", "mat", "dog", "ran", "far"]
+    refs, hyps = {}, {}
+    for i in range(12):
+        n = rng.integers(1, 10)
+        ref = [words[k] for k in rng.integers(0, len(words), n)]
+        hyp = [w if rng.random() > 0.4
+               else words[rng.integers(0, len(words))] for w in ref]
+        if rng.random() < 0.4 and hyp:
+            hyp = hyp[1:]
+        if rng.random() < 0.4:
+            hyp.append(words[rng.integers(0, len(words))])
+        refs[f"utt{i}"] = " ".join(ref)
+        hyps[f"utt{i}"] = " ".join(hyp)
+    ref_p, hyp_p = str(tmp_path / "ref.txt"), str(tmp_path / "hyp.txt")
+    with open(ref_p, "w") as f:
+        for k, v in refs.items():
+            f.write(f"{k} {v}\n")
+    with open(hyp_p, "w") as f:
+        for k, v in hyps.items():
+            f.write(f"{k} {v}\n")
+    out = subprocess.run(
+        [sys.executable, REF_WER, f"--char={int(char_mode)}", "--v=1",
+         ref_p, hyp_p],
+        capture_output=True, text=True, check=True).stdout
+    ref_aligns = _parse_ref_verbose_alignment(out)
+    assert len(ref_aligns) == len(refs)
+
+    from mtasr_tpu.utils.native import get_lib
+    assert get_lib() is not None   # the point is the NATIVE verbose path
+    calc = Calculator(char_mode=char_mode, use_native=True)
+    for k in refs:
+        stats = calc.calculate(k, refs[k], hyps[k], need_alignment=True)
+        lab_ref, rec_ref = ref_aligns[k]
+        assert stats.lab_align == lab_ref, (k, stats.lab_align, lab_ref)
+        assert stats.rec_align == rec_ref, (k, stats.rec_align, rec_ref)
+
+
 def test_cpwer():
     w, perm = cpwer(["hello world", "good day"], ["good day", "hello world"])
     assert w == 0.0 and perm == (1, 0)

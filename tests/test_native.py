@@ -36,6 +36,29 @@ def test_native_batch():
         assert tuple(out[p]) == wer_align_native(labs[p], recs[p])
 
 
+@pytest.mark.parametrize("seed", range(5))
+def test_native_alignment_matches_python(seed):
+    """need_alignment=True path: native traceback ops must rebuild the
+    EXACT alignment strings the pure-Python DP produces (same preference
+    order del > ins > diag) — the default verbose scoring path
+    (compute-wer --v=1, run.sh:316-319) runs natively (VERDICT r4 #7)."""
+    rng = np.random.default_rng(100 + seed)
+    words = [f"w{i}" for i in range(12)]
+    c_nat = Calculator(use_native=True)
+    c_py = Calculator(use_native=False)
+    for u in range(20):
+        ref = " ".join(words[k]
+                       for k in rng.integers(0, 12, rng.integers(0, 10)))
+        hyp = " ".join(words[k]
+                       for k in rng.integers(0, 12, rng.integers(0, 10)))
+        s_n = c_nat.calculate(f"u{u}", ref, hyp, need_alignment=True)
+        s_p = c_py.calculate(f"u{u}", ref, hyp, need_alignment=True)
+        assert s_n.lab_align == s_p.lab_align, (ref, hyp)
+        assert s_n.rec_align == s_p.rec_align, (ref, hyp)
+        assert (s_n.all, s_n.cor, s_n.sub, s_n.dele, s_n.ins) == \
+            (s_p.all, s_p.cor, s_p.sub, s_p.dele, s_p.ins)
+
+
 def test_calculator_native_vs_python_identical():
     rng = np.random.default_rng(1)
     words = [f"w{i}" for i in range(20)]
