@@ -63,7 +63,10 @@ def _memorize_batch(cfg, B=4, S=16000, seed=7):
         l1, l2 = rng.integers(8, 12), rng.integers(8, 12)
         rows.append(list(rng.integers(3, 512, l1)) + [SC]
                     + list(rng.integers(3, 512, l2)))
-    L = max(len(r) for r in rows)
+    # +1 pad slot: insert_eos places eos at each row's first -100 slot
+    # (reference forward 699-710) — a full row would get NO eos
+    # supervision and greedy decode would overrun the label at max length
+    L = max(len(r) for r in rows) + 1
     labels = np.full((B, L), -100, np.int64)
     for b, r in enumerate(rows):
         labels[b, :len(r)] = r
@@ -74,7 +77,7 @@ def _memorize_batch(cfg, B=4, S=16000, seed=7):
     return wav, amask, arr, rows
 
 
-def run(budget_s: float = 240.0, max_steps: int = 800,
+def run(budget_s: float = 240.0, max_steps: int = 4000,
         spec_k: int = 4) -> dict:
     import jax
     import jax.numpy as jnp
