@@ -31,7 +31,8 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-MODES = ("full", "no_bias", "no_softmax", "no_qk", "no_pv", "bf16_exp")
+MODES = ("full", "no_bias", "no_softmax", "no_qk", "no_pv", "bf16_exp",
+         "io_only", "qk_only")
 
 
 def _kernel_1s_variant(kv_len_ref, q_ref, k_ref, v_ref, pos_bias_ref,
@@ -48,6 +49,15 @@ def _kernel_1s_variant(kv_len_ref, q_ref, k_ref, v_ref, pos_bias_ref,
     v = v_ref[:]
     D = q.shape[-1]
 
+    if mode == "io_only":
+        # scaffold baseline: every input block is still DMA'd (specs are
+        # identical), no compute — isolates dispatch + HBM movement +
+        # the per-call transposes outside the kernel
+        o_ref[:] = (q + k[:, :q.shape[1]] * 0 + v[:, :q.shape[1]] * 0
+                    ).astype(o_ref.dtype)
+        lse_ref[:] = jnp.zeros_like(lse_ref)
+        return
+
     if mode == "no_qk":
         s = jnp.broadcast_to(q[:, :, :1], (A, q.shape[1], S)).astype(
             jnp.float32)
@@ -56,6 +66,12 @@ def _kernel_1s_variant(kv_len_ref, q_ref, k_ref, v_ref, pos_bias_ref,
                                 preferred_element_type=jnp.float32)
         if scale != 1.0:
             s = s * scale
+
+    if mode == "qk_only":
+        # QK + block IO, nothing else: QK cost ~= qk_only - io_only
+        o_ref[:] = s[:, :, :D].astype(o_ref.dtype)
+        lse_ref[:] = jnp.zeros_like(lse_ref)
+        return
 
     if mode != "no_bias":
         pb = pos_bias_ref[:].astype(jnp.float32)       # [A, bq, S]
@@ -146,7 +162,7 @@ def _forward_variant(q, k, v, pos_bias, gate, scale, block_q, mode):
     return out.reshape(B, Hq, T, D).transpose(0, 2, 1, 3)
 
 
-def run(B=128, T=499, H=16, D=64, iters=10, inner=8):
+def run(B=128, T=499, H=16, D=64, iters=10, inner=8, modes=MODES):
     import jax
     import jax.numpy as jnp
 
@@ -159,36 +175,41 @@ def run(B=128, T=499, H=16, D=64, iters=10, inner=8):
     scale = 1.0 / math.sqrt(D)
 
     results = {}
-    for mode in MODES:
-        def one(qq, mode=mode):
-            return _forward_variant(qq, k, v, pb, g, scale, 512, mode)
-
-        @jax.jit
-        def rep(qq, mode=mode):
+    for mode in modes:
+        @functools.partial(jax.jit, static_argnames=("mode",))
+        def rep(qq, kk, vv, pbb, gg, mode=mode):
             # thread the output back through the input with a barrier so
             # XLA can neither hoist nor elide the inner iterations
+            # (closed-over arrays would be inlined as HLO constants and
+            # blow the remote-compile payload limit — pass everything)
             def body(c, _):
-                c = jax.lax.optimization_barrier(one(c, mode))
-                return c.astype(jnp.bfloat16), ()
+                o = _forward_variant(c, kk, vv, pbb, gg, scale, 512, mode)
+                c = jax.lax.optimization_barrier(o.astype(jnp.bfloat16))
+                return c, ()
             c, _ = jax.lax.scan(body, qq, None, length=inner)
-            return c
+            # reduce on-device: the timed host fetch must be a SCALAR —
+            # fetching the [B,T,H,D] output (1 GB) through the tunnel
+            # costs ~2.3 s and would swamp the kernel time
+            return jnp.sum(c.astype(jnp.float32))
 
-        np.asarray(rep(q))  # compile + warm
+        float(rep(q, k, v, pb, g, mode=mode))  # compile + warm
         t0 = time.perf_counter()
         for _ in range(iters):
-            np.asarray(rep(q))   # value fetch: required on this runtime
+            # scalar value fetch: required on this runtime
+            float(rep(q, k, v, pb, g, mode=mode))
         dt = (time.perf_counter() - t0) / (iters * inner)
         results[mode] = dt * 1e3
         print(f"{mode:12s} {dt * 1e3:7.3f} ms", flush=True)
 
-    f = results["full"]
-    print("\nattribution (ms, B=%d T=%d H=%d D=%d):" % (B, T, H, D))
-    print(f"  QK matmul      : {f - results['no_qk']:.3f}")
-    print(f"  softmax chain  : {f - results['no_softmax']:.3f}")
-    print(f"  p@v matmul     : {f - results['no_pv']:.3f}")
-    print(f"  bias add       : {f - results['no_bias']:.3f}")
-    print(f"  bf16 exp delta : {f - results['bf16_exp']:.3f}")
-    print(f"  full           : {f:.3f}")
+    if "full" in results and len(results) == len(MODES):
+        f = results["full"]
+        print("\nattribution (ms, B=%d T=%d H=%d D=%d):" % (B, T, H, D))
+        print(f"  QK matmul      : {f - results['no_qk']:.3f}")
+        print(f"  softmax chain  : {f - results['no_softmax']:.3f}")
+        print(f"  p@v matmul     : {f - results['no_pv']:.3f}")
+        print(f"  bias add       : {f - results['no_bias']:.3f}")
+        print(f"  bf16 exp delta : {f - results['bf16_exp']:.3f}")
+        print(f"  full           : {f:.3f}")
     return results
 
 
@@ -197,4 +218,4 @@ if __name__ == "__main__":
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(_REPO, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    run()
+    run(modes=tuple(sys.argv[1:]) or MODES)
