@@ -161,10 +161,13 @@ class Transcriber:
     def transcribe(self, audio: Sequence[AudioInput], *, prompt: str = "",
                    batch_size: int = 8,
                    max_new_tokens: Optional[int] = None,
+                   num_beams: int = 1,
                    clean: bool = True) -> List[str]:
         """Greedy (or self.gen-configured) SOT decode. audio: wav paths or
         1-D float waveforms at DataConfig.sampling_rate. Returns one
-        serialized transcript per input, `<sc>`-separated speakers."""
+        serialized transcript per input, `<sc>`-separated speakers.
+        num_beams > 1 routes through the HF-semantics-exact beam engine
+        (generate/beam.py) and returns each input's best beam."""
         import jax.numpy as jnp
         from mtasr_tpu.generate import generate
         results: Dict[str, str] = {}
@@ -178,9 +181,19 @@ class Transcriber:
                 wav, amask = sb["w"], sb["m"]
             pr = (jnp.asarray(batch.arrays["prompt_ids"])
                   if "prompt_ids" in batch.arrays else None)
-            out = generate(self.params, self.cfg, wav, amask, prompt_ids=pr,
-                           gen=self.gen, max_new_tokens=max_new_tokens)
-            seqs = np.asarray(out.sequences)
+            if num_beams > 1:
+                from mtasr_tpu.generate.beam import beam_generate
+                bout = beam_generate(
+                    self.params, self.cfg, wav, amask, prompt_ids=pr,
+                    num_beams=num_beams,
+                    max_new_tokens=max_new_tokens or
+                    (self.gen.max_new_tokens or self.gen.max_length))
+                seqs = np.asarray(bout.sequences)[:, 0]   # best beam
+            else:
+                out = generate(self.params, self.cfg, wav, amask,
+                               prompt_ids=pr, gen=self.gen,
+                               max_new_tokens=max_new_tokens)
+                seqs = np.asarray(out.sequences)
             for i, uid in enumerate(batch.utt_ids):
                 text = self.tokenizer.decode(seqs[i],
                                              skip_special_tokens=False)

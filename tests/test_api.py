@@ -101,3 +101,17 @@ def test_transcribe_instruct_prompt():
     out = t.transcribe([wav], prompt="transcribe both speakers",
                        max_new_tokens=5)
     assert len(out) == 1 and isinstance(out[0], str)
+
+
+def test_transcribe_num_beams():
+    """num_beams=1 equals the default greedy route; num_beams=4 runs the
+    beam engine and returns one (best-beam) transcript per input."""
+    t = _transcriber()
+    rng = np.random.default_rng(5)
+    wavs = [(rng.standard_normal(4000) * 0.2).astype(np.float32)
+            for _ in range(2)]
+    greedy = t.transcribe(wavs, max_new_tokens=6, batch_size=2)
+    b1 = t.transcribe(wavs, max_new_tokens=6, batch_size=2, num_beams=1)
+    assert b1 == greedy
+    b4 = t.transcribe(wavs, max_new_tokens=6, batch_size=2, num_beams=4)
+    assert len(b4) == 2 and all(isinstance(s, str) for s in b4)
