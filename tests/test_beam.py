@@ -61,3 +61,30 @@ def test_beam_instruct():
                         prompt_ids=jnp.asarray(prompt), num_beams=2,
                         max_new_tokens=4)
     assert np.asarray(out.sequences).shape == (2, 2, 4)
+
+
+def test_beam_mesh_matches_single_device():
+    """Beam decode with dp x tp sharded params/batch (the inference_asr
+    --dp_size/--tp_size route) must be token-identical to single-device
+    beam — the cache beam-gather and alive/finished bookkeeping survive
+    SPMD partitioning."""
+    import jax
+    from mtasr_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+
+    if jax.device_count() < 8:
+        import pytest
+        pytest.skip("needs the 8-device virtual mesh")
+    cfg = tiny_cfg(train_mode="attention")
+    params = init_model_params(jax.random.key(31), cfg)
+    wav, amask, _ = make_batch(cfg, B=4, S=8000, seed=33)
+    ref = beam_generate(params, cfg, jnp.asarray(wav), jnp.asarray(amask),
+                        num_beams=4, max_new_tokens=6)
+    mesh = make_mesh(dp_size=4, tp_size=2)
+    params_sh = shard_params(params, mesh)
+    sb = shard_batch({"w": jnp.asarray(wav), "m": jnp.asarray(amask)}, mesh)
+    out = beam_generate(params_sh, cfg, sb["w"], sb["m"],
+                        num_beams=4, max_new_tokens=6)
+    np.testing.assert_array_equal(np.asarray(out.sequences),
+                                  np.asarray(ref.sequences))
+    np.testing.assert_allclose(np.asarray(out.scores),
+                               np.asarray(ref.scores), rtol=1e-5, atol=1e-5)
