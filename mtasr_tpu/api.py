@@ -187,7 +187,8 @@ class Transcriber:
                     self.params, self.cfg, wav, amask, prompt_ids=pr,
                     num_beams=num_beams,
                     max_new_tokens=max_new_tokens or
-                    (self.gen.max_new_tokens or self.gen.max_length))
+                    (self.gen.max_new_tokens or self.gen.max_length),
+                    kv_quant=self.gen.kv_quant)
                 seqs = np.asarray(bout.sequences)[:, 0]   # best beam
             else:
                 out = generate(self.params, self.cfg, wav, amask,

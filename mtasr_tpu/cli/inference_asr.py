@@ -263,7 +263,8 @@ def main(argv=None):
                       if "prompt_ids" in batch.arrays else None)
             out = beam_generate(params, cfg, wav, amask, prompt_ids=prompt,
                                 num_beams=args.num_beams,
-                                max_new_tokens=args.max_length)
+                                max_new_tokens=args.max_length,
+                                kv_quant=args.kv_quant)
             emit_batch(batch, np.asarray(out.sequences)[:, 0])  # best beam
         elif args.pipelined:
             feed = {"input_values": wav, "audio_mask": amask}

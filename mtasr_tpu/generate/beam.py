@@ -181,10 +181,11 @@ def beam_state_finalize(state, W, max_new_tokens, length_penalty):
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_beams", "max_new_tokens",
-                                   "splice_index"))
+                                   "splice_index", "kv_quant"))
 def _beam_impl(params, cfg: SpeechEncoderDecoderConfig, enc: EncodedSpeech,
                prefill_ids: jax.Array, splice_index: int, num_beams: int,
-               max_new_tokens: int, length_penalty: float) -> BeamOutput:
+               max_new_tokens: int, length_penalty: float,
+               kv_quant: bool = False) -> BeamOutput:
     dec_cfg = cfg.decoder
     W = num_beams
     speech = enc.encoder_hidden_states
@@ -200,8 +201,11 @@ def _beam_impl(params, cfg: SpeechEncoderDecoderConfig, enc: EncodedSpeech,
     # position compaction + per-row last-valid-frame logits for padded
     # audio — see engine._prefill) ----
     from mtasr_tpu.generate.engine import _prefill
+    # int8 KV works under beams unchanged: every cache leaf (k/v buffers,
+    # validity, merged kv scales) is batch-leading, so the per-step
+    # beam-parent gather permutes them exactly like the bf16 cache
     cache, last_logits, n_valid, _ = _prefill(
-        params, cfg, enc, prefill_ids, splice_index, S_max, False)
+        params, cfg, enc, prefill_ids, splice_index, S_max, kv_quant)
 
     # ---- init beams (pure bookkeeping in beam_state_init) ----
     logp0 = jax.nn.log_softmax(last_logits.astype(jnp.float32), -1)  # [B,V]
@@ -249,7 +253,8 @@ def beam_generate(params, cfg: SpeechEncoderDecoderConfig,
                   input_values: jax.Array, audio_mask: Optional[jax.Array],
                   prompt_ids: Optional[jax.Array] = None,
                   num_beams: int = 4, max_new_tokens: int = 150,
-                  length_penalty: float = 1.0) -> BeamOutput:
+                  length_penalty: float = 1.0,
+                  kv_quant: bool = False) -> BeamOutput:
     from mtasr_tpu.generate.engine import _encode_jit
     B = input_values.shape[0]
     if "decoder_lora" in params:
@@ -267,4 +272,4 @@ def beam_generate(params, cfg: SpeechEncoderDecoderConfig,
         splice_index = 1
     return _beam_impl(params, cfg, enc, prefill_ids, splice_index,
                       int(num_beams), int(max_new_tokens),
-                      float(length_penalty))
+                      float(length_penalty), kv_quant=bool(kv_quant))

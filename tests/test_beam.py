@@ -88,3 +88,30 @@ def test_beam_mesh_matches_single_device():
                                   np.asarray(ref.sequences))
     np.testing.assert_allclose(np.asarray(out.scores),
                                np.asarray(ref.scores), rtol=1e-5, atol=1e-5)
+
+
+def test_beam_kv_quant():
+    """kv_quant under beams: W=1 int8-KV beam must equal int8-KV greedy
+    token-for-token (identical quantization math, same cache path), and
+    W=4 runs with the quantized cache gathered by beam parent."""
+    from mtasr_tpu.config import GenerationConfig
+    cfg = tiny_cfg(train_mode="attention")
+    params = init_model_params(jax.random.key(41), cfg)
+    wav, amask, _ = make_batch(cfg, B=2, S=8000, seed=42)
+    g = generate(params, cfg, jnp.asarray(wav), jnp.asarray(amask),
+                 gen=GenerationConfig(do_sample=False, kv_quant=True),
+                 max_new_tokens=6)
+    b1 = beam_generate(params, cfg, jnp.asarray(wav), jnp.asarray(amask),
+                       num_beams=1, max_new_tokens=6, kv_quant=True)
+    gs = np.asarray(g.sequences)
+    bs = np.asarray(b1.sequences)[:, 0]
+    for row_g, row_b in zip(gs, bs):
+        for t in range(6):
+            assert row_g[t] == row_b[t]
+            if row_g[t] == EOS:
+                break
+    b4 = beam_generate(params, cfg, jnp.asarray(wav), jnp.asarray(amask),
+                       num_beams=4, max_new_tokens=6, kv_quant=True)
+    assert np.asarray(b4.sequences).shape == (2, 4, 6)
+    scores = np.asarray(b4.scores)
+    assert np.all(np.diff(scores, axis=1) <= 1e-6)   # sorted best-first
