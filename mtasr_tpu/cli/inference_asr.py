@@ -264,7 +264,8 @@ def main(argv=None):
             out = beam_generate(params, cfg, wav, amask, prompt_ids=prompt,
                                 num_beams=args.num_beams,
                                 max_new_tokens=args.max_length,
-                                kv_quant=args.kv_quant)
+                                kv_quant=args.kv_quant,
+                                encode_chunk=args.encode_chunk)
             emit_batch(batch, np.asarray(out.sequences)[:, 0])  # best beam
         elif args.pipelined:
             feed = {"input_values": wav, "audio_mask": amask}

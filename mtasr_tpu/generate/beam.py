@@ -254,13 +254,15 @@ def beam_generate(params, cfg: SpeechEncoderDecoderConfig,
                   prompt_ids: Optional[jax.Array] = None,
                   num_beams: int = 4, max_new_tokens: int = 150,
                   length_penalty: float = 1.0,
-                  kv_quant: bool = False) -> BeamOutput:
-    from mtasr_tpu.generate.engine import _encode_jit
+                  kv_quant: bool = False,
+                  encode_chunk: Optional[int] = None) -> BeamOutput:
+    from mtasr_tpu.generate.engine import encode_maybe_chunked
     B = input_values.shape[0]
     if "decoder_lora" in params:
         from mtasr_tpu.train.lora import merge_decoder_lora
         params = merge_decoder_lora(params)
-    enc = _encode_jit(params, cfg, input_values, audio_mask)
+    enc = encode_maybe_chunked(params, cfg, input_values, audio_mask,
+                               encode_chunk)
     bos = jnp.full((B, 1), cfg.decoder_start_token_id, jnp.int32)
     if cfg.instruct:
         if prompt_ids is None:

@@ -55,6 +55,26 @@ jax.tree_util.register_dataclass(GenerateOutput,
 _encode_jit = jax.jit(encode_speech, static_argnames=("cfg",))
 
 
+def encode_maybe_chunked(params, cfg, input_values, audio_mask, chunk):
+    """Encode the batch, optionally in row chunks: bounds the encoder's
+    peak HBM (conv-frontend intermediates scale with rows) while the
+    decode still runs at full B; the same compiled encode program serves
+    every full-size chunk. Chunk-invariant by construction: the encoder
+    has no cross-row coupling (test_generate.py pins batch invariance of
+    the whole pipeline). Shared by the greedy/sampling engine and beam
+    search."""
+    B = input_values.shape[0]
+    if chunk is not None and 0 < chunk < B:
+        encs = []
+        for i in range(0, B, chunk):
+            m = audio_mask[i:i + chunk] if audio_mask is not None else None
+            encs.append(_encode_jit(params, cfg, input_values[i:i + chunk],
+                                    m))
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *encs)
+    return _encode_jit(params, cfg, input_values, audio_mask)
+
+
 def _sample_token(logits: jax.Array, gen: GenerationConfig,
                   rng: Optional[jax.Array]) -> jax.Array:
     """logits [B, V] -> token [B]."""
@@ -211,21 +231,8 @@ def _prepare(params, cfg: SpeechEncoderDecoderConfig,
         from mtasr_tpu.train.lora import merge_decoder_lora
         params = merge_decoder_lora(params)
 
-    chunk = gen.encode_chunk
-    if chunk is not None and 0 < chunk < B:
-        # bound the encoder's peak HBM (conv-frontend intermediates scale
-        # with rows) while decoding at full B; same compiled encode program
-        # serves every full-size chunk. Chunk-invariant by construction:
-        # the encoder has no cross-row coupling (test_generate.py pins
-        # batch invariance of the whole pipeline).
-        encs = []
-        for i in range(0, B, chunk):
-            m = audio_mask[i:i + chunk] if audio_mask is not None else None
-            encs.append(_encode_jit(params, cfg, input_values[i:i + chunk], m))
-        enc = jax.tree_util.tree_map(
-            lambda *xs: jnp.concatenate(xs, axis=0), *encs)
-    else:
-        enc = _encode_jit(params, cfg, input_values, audio_mask)
+    enc = encode_maybe_chunked(params, cfg, input_values, audio_mask,
+                               gen.encode_chunk)
     bos = jnp.full((B, 1), cfg.decoder_start_token_id, jnp.int32)
     if cfg.instruct:
         if prompt_ids is None:

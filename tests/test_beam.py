@@ -115,3 +115,22 @@ def test_beam_kv_quant():
     assert np.asarray(b4.sequences).shape == (2, 4, 6)
     scores = np.asarray(b4.scores)
     assert np.all(np.diff(scores, axis=1) <= 1e-6)   # sorted best-first
+
+
+def test_beam_encode_chunk_invariant():
+    """encode_chunk under beams: chunked encode must be decode-invariant
+    (the encoder has no cross-row coupling), so beams/scores match the
+    unchunked run exactly."""
+    cfg = tiny_cfg(train_mode="attention")
+    params = init_model_params(jax.random.key(51), cfg)
+    wav, amask, _ = make_batch(cfg, B=4, S=8000, seed=52)
+    full = beam_generate(params, cfg, jnp.asarray(wav), jnp.asarray(amask),
+                         num_beams=3, max_new_tokens=5)
+    chunked = beam_generate(params, cfg, jnp.asarray(wav),
+                            jnp.asarray(amask), num_beams=3,
+                            max_new_tokens=5, encode_chunk=2)
+    np.testing.assert_array_equal(np.asarray(full.sequences),
+                                  np.asarray(chunked.sequences))
+    np.testing.assert_allclose(np.asarray(full.scores),
+                               np.asarray(chunked.scores), rtol=1e-6,
+                               atol=1e-6)
