@@ -207,6 +207,13 @@ def main(argv=None):
                            or args.speculative):
         raise SystemExit("--pipelined applies to plain (greedy/sampled) "
                          "decoding only")
+    if args.num_beams > 1 and args.speculative:
+        raise SystemExit("--speculative drafts plain greedy decoding; it "
+                         "does not compose with --num_beams > 1")
+    if args.num_beams > 1 and args.do_sample:
+        raise SystemExit("beam search here is deterministic (HF "
+                         "do_sample=False semantics); drop --do_sample or "
+                         "--num_beams")
 
     label_f = open(os.path.join(args.output_dir,
                                 f"label.{args.shard_index}"), "w")
