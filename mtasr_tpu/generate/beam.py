@@ -256,22 +256,16 @@ def beam_generate(params, cfg: SpeechEncoderDecoderConfig,
                   length_penalty: float = 1.0,
                   kv_quant: bool = False,
                   encode_chunk: Optional[int] = None) -> BeamOutput:
-    from mtasr_tpu.generate.engine import encode_maybe_chunked
+    from mtasr_tpu.generate.engine import (
+        encode_maybe_chunked, prompt_layout,
+    )
     B = input_values.shape[0]
     if "decoder_lora" in params:
         from mtasr_tpu.train.lora import merge_decoder_lora
         params = merge_decoder_lora(params)
     enc = encode_maybe_chunked(params, cfg, input_values, audio_mask,
                                encode_chunk)
-    bos = jnp.full((B, 1), cfg.decoder_start_token_id, jnp.int32)
-    if cfg.instruct:
-        if prompt_ids is None:
-            raise ValueError("instruct mode requires prompt_ids")
-        prefill_ids = jnp.concatenate([bos, prompt_ids.astype(jnp.int32)], 1)
-        splice_index = int(prefill_ids.shape[1]) - 2
-    else:
-        prefill_ids = bos
-        splice_index = 1
+    prefill_ids, splice_index = prompt_layout(cfg, B, prompt_ids)
     return _beam_impl(params, cfg, enc, prefill_ids, splice_index,
                       int(num_beams), int(max_new_tokens),
                       float(length_penalty), kv_quant=bool(kv_quant))

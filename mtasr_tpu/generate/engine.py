@@ -55,6 +55,38 @@ jax.tree_util.register_dataclass(GenerateOutput,
 _encode_jit = jax.jit(encode_speech, static_argnames=("cfg",))
 
 
+def prompt_layout(cfg, B: int, prompt_ids):
+    """[BOS]+prompt prefill ids + splice index for instruct mode, or plain
+    [BOS] otherwise. Batched decode uses ONE prompt layout for the whole
+    batch (the reference decodes per-sample, inference_asr.py:171-217, so
+    any mix of prompts is honored there). A padded shorter prompt would
+    be silently mis-spliced — detect and refuse. The pipeline groups
+    batches by prompt length (batches_from_examples) so real decode runs
+    never trip this. Shared by the greedy/sampling engine, beam search,
+    and the pipelined stream engine."""
+    import numpy as np
+    bos = jnp.full((B, 1), cfg.decoder_start_token_id, jnp.int32)
+    if not cfg.instruct:
+        return bos, 1
+    if prompt_ids is None:
+        raise ValueError("instruct mode requires prompt_ids")
+    tail = np.asarray(prompt_ids[:, -3:])
+    expected = np.asarray([cfg.boss_token_id, cfg.eoss_token_id,
+                           cfg.bosr_token_id])
+    if not (tail == expected[None, :]).all():
+        bad = np.nonzero(~(tail == expected[None, :]).all(axis=1))[0]
+        raise ValueError(
+            "heterogeneous prompt layouts in one batch: rows "
+            f"{bad.tolist()} do not end with <boss><eoss><bosr> — "
+            "group the batch by prompt length (the data pipeline's "
+            "batches_from_examples does this) or decode them "
+            "separately")
+    prefill_ids = jnp.concatenate([bos, prompt_ids.astype(jnp.int32)],
+                                  axis=1)
+    # [BOS bosp prompt(P) eosp boss | eoss bosr]: splice after <boss>
+    return prefill_ids, int(prefill_ids.shape[1]) - 2
+
+
 def encode_maybe_chunked(params, cfg, input_values, audio_mask, chunk):
     """Encode the batch, optionally in row chunks: bounds the encoder's
     peak HBM (conv-frontend intermediates scale with rows) while the
@@ -235,28 +267,7 @@ def _prepare(params, cfg: SpeechEncoderDecoderConfig,
                                gen.encode_chunk)
     bos = jnp.full((B, 1), cfg.decoder_start_token_id, jnp.int32)
     if cfg.instruct:
-        if prompt_ids is None:
-            raise ValueError("instruct mode requires prompt_ids")
-        # batched decode uses ONE prompt layout for the whole batch (the
-        # reference decodes per-sample, inference_asr.py:171-217, so any
-        # mix of prompts is honored there). A padded shorter prompt would
-        # be silently mis-spliced — detect and refuse. The pipeline groups
-        # batches by prompt length (batches_from_examples) so real decode
-        # runs never trip this.
-        tail = np.asarray(prompt_ids[:, -3:])
-        expected = np.asarray([cfg.boss_token_id, cfg.eoss_token_id,
-                               cfg.bosr_token_id])
-        if not (tail == expected[None, :]).all():
-            bad = np.nonzero(~(tail == expected[None, :]).all(axis=1))[0]
-            raise ValueError(
-                "heterogeneous prompt layouts in one batch: rows "
-                f"{bad.tolist()} do not end with <boss><eoss><bosr> — "
-                "group the batch by prompt length (the data pipeline's "
-                "batches_from_examples does this) or decode them "
-                "separately")
-        prefill_ids = jnp.concatenate([bos, prompt_ids.astype(jnp.int32)], axis=1)
-        # [BOS bosp prompt(P) eosp boss | eoss bosr]: splice after <boss>
-        splice_index = int(prefill_ids.shape[1]) - 2
+        prefill_ids, splice_index = prompt_layout(cfg, B, prompt_ids)
     else:
         prefill_ids = bos
         splice_index = 1

@@ -231,22 +231,9 @@ def _fused_stage(params, cfg: SpeechEncoderDecoderConfig,
 
 def _prompt_layout(cfg: SpeechEncoderDecoderConfig, B: int,
                    prompt_ids: Optional[jax.Array]):
-    """[BOS]+prompt prefill ids + splice index (engine._prepare semantics,
-    without the encode)."""
-    import numpy as np
-    bos = jnp.full((B, 1), cfg.decoder_start_token_id, jnp.int32)
-    if cfg.instruct:
-        if prompt_ids is None:
-            raise ValueError("instruct mode requires prompt_ids")
-        tail = np.asarray(prompt_ids[:, -3:])
-        expected = np.asarray([cfg.boss_token_id, cfg.eoss_token_id,
-                               cfg.bosr_token_id])
-        if not (tail == expected[None, :]).all():
-            raise ValueError("heterogeneous prompt layouts in one batch")
-        prefill_ids = jnp.concatenate([bos, prompt_ids.astype(jnp.int32)],
-                                      axis=1)
-        return prefill_ids, int(prefill_ids.shape[1]) - 2
-    return bos, 1
+    """[BOS]+prompt prefill ids + splice index (shared engine helper)."""
+    from mtasr_tpu.generate.engine import prompt_layout
+    return prompt_layout(cfg, B, prompt_ids)
 
 
 def generate_pipelined(params, cfg: SpeechEncoderDecoderConfig,
