@@ -38,9 +38,9 @@ import jax
 import jax.numpy as jnp
 
 from mtasr_tpu.config import SpeechEncoderDecoderConfig
-from mtasr_tpu.models.llama import KVCache, embed_tokens, llama_forward
+from mtasr_tpu.models.llama import embed_tokens, llama_forward
 from mtasr_tpu.models.speech_encoder_decoder import (
-    EncodedSpeech, _adapter_callback, encode_speech,
+    EncodedSpeech, _adapter_callback,
 )
 
 NEG_INF = -1.0e7
