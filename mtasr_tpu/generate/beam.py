@@ -4,7 +4,8 @@ The reference vendors HF's full beam machinery (utils/generation_utils.py:
 3379 beam_search) though every run script decodes greedily; this provides
 the `num_beams > 1` path TPU-natively: beams folded into the batch dim
 (B*W rows), cache rows gathered by beam parent each step, alive/finished
-bookkeeping in the standard t5x style, all inside one lax.fori_loop.
+bookkeeping in the standard t5x style, all inside one lax.while_loop
+with the scorer's is_done early exit.
 
 Scores follow HF semantics exactly (A/B'd against the reference's vendored
 `_beam_search` + installed `BeamSearchScorer` in tests/test_reference_ab.py):
