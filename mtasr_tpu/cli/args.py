@@ -103,6 +103,10 @@ def add_generation_args(p: argparse.ArgumentParser) -> None:
     g = p.add_argument_group("generation")
     g.add_argument("--max_length", type=int, default=150)
     g.add_argument("--num_beams", type=int, default=1)
+    g.add_argument("--length_penalty", type=float, default=1.0,
+                   help="beam-search length penalty exponent (HF "
+                        "BeamSearchScorer semantics; only used with "
+                        "--num_beams > 1)")
     g.add_argument("--do_sample", action="store_true")
     g.add_argument("--temperature", type=float, default=1.0)
     g.add_argument("--top_k", type=int, default=0)

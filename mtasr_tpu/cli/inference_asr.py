@@ -117,6 +117,19 @@ def merge_and_score(args) -> str:
 def main(argv=None):
     args = build_argparser().parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    # incompatible decode-flag combinations fail loudly BEFORE any model
+    # load (a silently-ignored flag is worse than an error)
+    if args.pipelined and (args.ctc_decoding or args.num_beams > 1
+                           or args.speculative):
+        raise SystemExit("--pipelined applies to plain (greedy/sampled) "
+                         "decoding only")
+    if args.num_beams > 1 and args.speculative:
+        raise SystemExit("--speculative drafts plain greedy decoding; it "
+                         "does not compose with --num_beams > 1")
+    if args.num_beams > 1 and args.do_sample:
+        raise SystemExit("beam search here is deterministic (HF "
+                         "do_sample=False semantics); drop --do_sample or "
+                         "--num_beams")
     os.makedirs(args.output_dir, exist_ok=True)
 
     if args.merge:
@@ -203,18 +216,6 @@ def main(argv=None):
                            speculative=args.speculative,
                            spec_k=args.spec_k)
 
-    if args.pipelined and (args.ctc_decoding or args.num_beams > 1
-                           or args.speculative):
-        raise SystemExit("--pipelined applies to plain (greedy/sampled) "
-                         "decoding only")
-    if args.num_beams > 1 and args.speculative:
-        raise SystemExit("--speculative drafts plain greedy decoding; it "
-                         "does not compose with --num_beams > 1")
-    if args.num_beams > 1 and args.do_sample:
-        raise SystemExit("beam search here is deterministic (HF "
-                         "do_sample=False semantics); drop --do_sample or "
-                         "--num_beams")
-
     label_f = open(os.path.join(args.output_dir,
                                 f"label.{args.shard_index}"), "w")
     decod_f = open(os.path.join(args.output_dir,
@@ -271,6 +272,7 @@ def main(argv=None):
             out = beam_generate(params, cfg, wav, amask, prompt_ids=prompt,
                                 num_beams=args.num_beams,
                                 max_new_tokens=args.max_length,
+                                length_penalty=args.length_penalty,
                                 kv_quant=args.kv_quant,
                                 encode_chunk=args.encode_chunk)
             emit_batch(batch, np.asarray(out.sequences)[:, 0])  # best beam

@@ -50,3 +50,17 @@ def test_instruct_requires_special_ids():
     cfg.eosr_token_id = 10_000  # beyond vocab
     with pytest.raises(ValueError, match="vocab"):
         cfg.validate()
+
+
+def test_inference_cli_flag_guards():
+    """Incompatible decode-flag combinations fail loudly, not silently."""
+    import pytest
+    from mtasr_tpu.cli.inference_asr import main as infer_main
+    base = ["--model_name_or_path", "/nonexistent", "--data_dir", "/n",
+            "--output_dir", "/tmp/x"]
+    with pytest.raises(SystemExit):
+        infer_main(base + ["--pipelined", "--num_beams", "4"])
+    with pytest.raises(SystemExit):
+        infer_main(base + ["--num_beams", "4", "--speculative", "ctc"])
+    with pytest.raises(SystemExit):
+        infer_main(base + ["--num_beams", "4", "--do_sample"])
