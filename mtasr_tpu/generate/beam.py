@@ -70,6 +70,32 @@ def _gather_beams(tree, parent_global):
         lambda a: jnp.take(a, parent_global, axis=0), tree)
 
 
+def _top_k_wide(flat: jax.Array, k: int):
+    """Exact top-k over a WIDE trailing axis via k argmax+mask passes.
+
+    XLA's TopK on this chip costs ~50 ms/step at [256, 128k] even for
+    k=8 (measured inside the decode loop, round 5 — it dominates beam
+    decode 5x over the model itself), while an argmax pass over the same
+    array is ~0.2 ms. k passes of argmax + scatter-mask are exact and
+    ~13x faster end-to-end. Ordering matches lax.top_k (values desc,
+    ties broken toward the lower index — argmax picks the first max).
+    Falls back to lax.top_k for narrow inputs where it is already fast.
+    """
+    B, N = flat.shape
+    if N <= 4096 or k >= N:
+        return jax.lax.top_k(flat, k)
+    rows = jnp.arange(B)
+    vals, idxs = [], []
+    cur = flat
+    for j in range(k):
+        i = jnp.argmax(cur, axis=-1)
+        vals.append(jnp.take_along_axis(cur, i[:, None], 1)[:, 0])
+        idxs.append(i.astype(jnp.int32))
+        if j + 1 < k:
+            cur = cur.at[rows, i].set(NEG_INF)
+    return jnp.stack(vals, 1), jnp.stack(idxs, 1)
+
+
 # ---------------------------------------------------------------------------
 # Pure beam bookkeeping — the HF-semantics math, model-free so it can be
 # A/B'd against the installed BeamSearchScorer on identical synthetic
@@ -84,7 +110,7 @@ def beam_state_init(logp0, W, eos_id, pad_id, max_new_tokens):
     hypothesis with generated_len 1 (score = logp(eos) / 1**lp — the lp
     exponent on 1 is a no-op, so lp isn't needed here)."""
     B = logp0.shape[0]
-    top0_scores, top0_toks = jax.lax.top_k(logp0, 2 * W)           # [B,2W]
+    top0_scores, top0_toks = _top_k_wide(logp0, 2 * W)             # [B,2W]
     is_eos0 = top0_toks == eos_id
     alive_cand0 = jnp.where(is_eos0, NEG_INF, top0_scores)
     alive_scores, idx0 = jax.lax.top_k(alive_cand0, W)             # [B,W]
@@ -116,7 +142,7 @@ def beam_state_step(t, logp, state, W, eos_id, length_penalty):
     B, _, V = logp.shape
     cand = alive_scores[:, :, None] + logp                 # [B, W, V]
     flat = cand.reshape(B, W * V)
-    top_scores, top_idx = jax.lax.top_k(flat, 2 * W)       # [B, 2W]
+    top_scores, top_idx = _top_k_wide(flat, 2 * W)         # [B, 2W]
     parent = top_idx // V
     token = top_idx % V
     is_eos = token == eos_id
