@@ -30,7 +30,7 @@ T_START = time.perf_counter()
 # (VERDICT r4 missing #1). The driver's external timeout is unknown but a
 # timeout mid-extras is survivable — the headline line is already flushed
 # and each completed extra re-prints the full line.
-BUDGET_S = float(os.environ.get("MTASR_BENCH_BUDGET_S", "900"))
+BUDGET_S = float(os.environ.get("MTASR_BENCH_BUDGET_S", "1300"))
 _EXTRAS_T0 = None
 
 
@@ -333,6 +333,48 @@ def main():
     elif on_tpu:
         extras["8b_bench_skipped"] = (
             f"remaining budget {_remaining():.0f}s < 420s")
+        _emit(rtfx, extras)
+
+    # -- extra 4: beam-search decode (W=4) ----------------------------------
+    # the num_beams>1 serving mode at the flagship geometry; tracks the
+    # round-5 _top_k_wide rewrite (beam.py: XLA TopK over [B, W*V] was 5x
+    # the model's own decode step — 53.6 -> 140.3 RTFx builder-side)
+    if on_tpu and _remaining() > 100:
+        try:
+            t_p = time.perf_counter()
+            from mtasr_tpu.generate.beam import beam_generate
+            cfgb = SpeechEncoderDecoderConfig(
+                encoder=enc, decoder=dec, train_mode="attention",
+                talker_ctc=False)
+            bparams = init_jit(jax.random.key(4), cfgb)
+            jax.block_until_ready(bparams)
+            Bb = 64
+            rngb = np.random.default_rng(1)
+            wavb = jnp.asarray(rngb.standard_normal((Bb, 16000 * secs)),
+                               jnp.bfloat16)
+            amb = jnp.ones((Bb, 16000 * secs), jnp.int32)
+
+            def run_beam():
+                out = beam_generate(bparams, cfgb, wavb, amb, num_beams=4,
+                                    max_new_tokens=max_new)
+                np.asarray(out.sequences)
+
+            run_beam()  # compile
+            n_it = 3
+            t0b = time.perf_counter()
+            for _ in range(n_it):
+                run_beam()
+            dtb = (time.perf_counter() - t0b) / n_it
+            extras["rtfx_beam_w4"] = round(Bb * secs / dtb, 2)
+            extras["beam_batch"] = Bb
+            extras["beam_phase_s"] = round(time.perf_counter() - t_p, 1)
+            bparams = None
+        except Exception as e:
+            extras["beam_bench_error"] = str(e)[:200]
+        _emit(rtfx, extras)
+    elif on_tpu:
+        extras["beam_bench_skipped"] = (
+            f"remaining budget {_remaining():.0f}s < 100s")
         _emit(rtfx, extras)
 
     # (former extra — encoder w8a8 e2e — removed: measured a REGRESSION
